@@ -1,0 +1,42 @@
+import numpy as np
+import jax.numpy as jnp
+
+from unires_tpu.pipeline.hyperpar import estimate_noise, fit_gmm2
+
+
+def test_gmm2_separates_two_gaussians():
+    rng = np.random.default_rng(0)
+    a = rng.normal(0, 10, 200000)
+    b = rng.normal(500, 60, 100000)
+    v = np.concatenate([a, b])
+    counts, edges = np.histogram(v, bins=1024)
+    centers = 0.5 * (edges[:-1] + edges[1:])
+    means, sds, ps = fit_gmm2(centers, counts)
+    order = np.argsort(means)
+    assert abs(means[order[0]] - 0) < 5
+    assert abs(means[order[1]] - 500) < 20
+    assert abs(sds[order[0]] - 10) < 3
+    assert abs(sds[order[1]] - 60) < 15
+
+
+def test_estimate_noise_on_phantom():
+    from phantoms import blob_phantom, degrade
+
+    gt = blob_phantom(dim=(40, 40, 41), amplitude=1000.0, seed=0)
+    x, mat_x, _ = degrade(gt, noise_sd=50.0, seed=0)
+    sd_bg, mu_bg, sd_fg, mu_fg = estimate_noise(jnp.asarray(x), is_ct=False)
+    # negatives masked -> background is a truncated normal; its sd is below
+    # the true sigma (same effect as the reference: estimates 49 for sigma=75)
+    assert 15.0 < sd_bg < 60.0
+    assert mu_fg > mu_bg
+    assert mu_fg > 100.0
+
+
+def test_estimate_noise_ct_keeps_negatives():
+    rng = np.random.default_rng(1)
+    air = rng.normal(-1000, 20, 60000)
+    tissue = rng.normal(40, 100, 40000)
+    v = jnp.asarray(np.concatenate([air, tissue]).astype(np.float32).reshape(100, 100, 10))
+    sd_bg, mu_bg, sd_fg, mu_fg = estimate_noise(v, is_ct=True)
+    assert mu_bg < -800
+    assert mu_fg > -100

@@ -1,0 +1,61 @@
+"""NMI rigid registration tests: recover known misalignments."""
+import jax.numpy as jnp
+import numpy as np
+
+from phantoms import blob_phantom
+
+from unires_tpu.geometry import affine_matrix_classic, voxel_size
+from unires_tpu.pipeline.registration import (affine_align, reset_origin,
+                                              atlas_align)
+
+
+def test_affine_align_recovers_translation_and_rotation():
+    gt = blob_phantom(dim=(48, 48, 48), amplitude=1000.0, seed=3)
+    rng = np.random.default_rng(0)
+    fix_dat = gt + 20.0 * rng.standard_normal(gt.shape).astype(np.float32)
+    # moving: same anatomy with DIFFERENT contrast (nonlinear intensity map)
+    mov_anat = 1500.0 * np.sqrt(gt / 1000.0)
+    mov_dat = mov_anat.astype(np.float32) + 20.0 * rng.standard_normal(gt.shape).astype(np.float32)
+    # true misalignment applied to the moving image's affine
+    R_true = affine_matrix_classic([3.0, -2.0, 1.5, 0.05, -0.03, 0.04])
+    fix_mat = np.eye(4)
+    mov_mat = R_true @ np.eye(4)  # moving world = R_true * anatomical world
+    mat_a = affine_align(
+        [(jnp.asarray(fix_dat), fix_mat), (jnp.asarray(mov_dat), mov_mat)],
+        fix=0, cost_fun="nmi", group="SE", samp=2, fwhm=4.0,
+        levels=(6.0, 3.0, 2.0))
+    # after applying solve(mat_a[1], mov_mat) the images should align:
+    # solve(mat_a[1], mov_mat) ~ eye -> mat_a[1] ~ R_true
+    aligned = np.linalg.solve(mat_a[1], mov_mat)
+    err_t = np.abs(aligned[:3, 3])
+    err_r = np.abs(aligned[:3, :3] - np.eye(3))
+    assert (err_t < 1.0).all(), aligned  # < 1mm residual
+    assert (err_r < 0.02).all(), aligned
+
+
+def test_affine_align_identity_for_fixed():
+    gt = blob_phantom(dim=(24, 24, 24), seed=1)
+    mat_a = affine_align([(jnp.asarray(gt), np.eye(4))] * 2, fix=0,
+                         levels=(4.0,))
+    assert np.allclose(mat_a[0], np.eye(4))
+
+
+def test_reset_origin_centres_fov():
+    dat = jnp.zeros((10, 12, 14), jnp.float32)
+    mat = np.eye(4)
+    mat[:3, 3] = [100.0, -50.0, 30.0]
+    _, new_mat = reset_origin(dat, mat)
+    centre = new_mat @ np.array([4.5, 5.5, 6.5, 1.0])
+    assert np.allclose(centre[:3], 0.0, atol=1e-9)
+    assert np.allclose(voxel_size(new_mat), voxel_size(mat))
+
+
+def test_atlas_align_fallback_centres(recwarn):
+    gt = blob_phantom(dim=(16, 16, 16), seed=2)
+    mat = np.eye(4)
+    mat[:3, 3] = [40.0, 10.0, -5.0]
+    mat_a = atlas_align((jnp.asarray(gt), mat), rigid=True)
+    # applying solve(mat_a, mat) moves the FOV centre to the origin
+    new_mat = np.linalg.solve(mat_a, mat)
+    centre = new_mat @ np.array([7.5, 7.5, 7.5, 1.0])
+    assert np.allclose(centre[:3], 0.0, atol=1e-6)

@@ -8,6 +8,7 @@ scaling updates).
 
 __version__ = "0.1.0"
 
-from .settings import Settings  # noqa: F401
+from .settings import Settings, settings  # noqa: F401
 from .models.proj_op import ProjOp, proj_info  # noqa: F401
 from .models.forward import proj_apply, check_adjoint  # noqa: F401
+from .pipeline.run import init, fit, preproc  # noqa: F401

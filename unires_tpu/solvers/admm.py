@@ -1,0 +1,236 @@
+"""The ADMM solver for the multi-channel JTV MAP problem.
+
+TPU-first re-design of the reference hot loop (unires/_update.py:105-195 and
+:396-427):
+
+  * ONE jitted function computes the whole outer iteration — y-updates for all
+    channels (CG as a device-side while_loop), the objective, the joint
+    shrinkage z-update and the dual w-update — so XLA fuses all elementwise
+    work and nothing bounces to host except the (3,) objective used for the
+    convergence test (reference does all control flow on host each iteration).
+  * Channel and repeat loops are unrolled at trace time (C, N are small and
+    static); volumes are stacked (C, *dim_y) so z/w updates are vmapped.
+  * Dynamic inputs: volumes, the per-observation (3,4) maps M / M^{-1}
+    (they change when rigid poses update), scaling scalars, tau, lam, rho.
+    Geometry (dims, kernels, ratios, push windows) is static in the trace.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.proj_op import ProjOp
+from ..ops.conv import blur_down, blur_up
+from ..ops.finite_diff import im_divergence, im_gradient
+from ..ops.resample import pull, push, push_window
+from ..ops.scaling import apply_scaling
+from .cg import cg
+
+Array = jax.Array
+
+
+# ---------------------------------------------------------------------------
+# Per-observation operator bundles (dynamic M/scl, static geometry)
+# ---------------------------------------------------------------------------
+
+def make_obs_ops(po: ProjOp, method: str):
+    """Build A / At / AtA callables for one observation.
+
+    Each takes (dat, M, Minv, scl) with M the (3,4) source->y map; the push
+    window is frozen from the operator's nominal map (25% slack absorbs the
+    small rigid drift between retraces; see ops.resample.push_window).
+    """
+    if method == "denoising":
+        window = push_window(po.M_den())
+
+        def A(dat, M, Minv, scl):
+            return pull(dat, M, po.dim_x)
+
+        def At(dat, M, Minv, scl):
+            return push(dat, M, po.dim_y, Minv=Minv, window=window)
+
+        def AtA(dat, M, Minv, scl):
+            return push(pull(dat, M, po.dim_x), M, po.dim_y, Minv=Minv, window=window)
+
+        return A, At, AtA
+
+    # super-resolution
+    window = push_window(po.M_sr())
+    ker = jnp.asarray(po.smo_ker)
+    ratio = po.ratio
+    axis = po.dim_thick
+
+    def A(dat, M, Minv, scl):
+        out = pull(dat, M, po.dim_yx)
+        out = blur_down(out, ker, ratio)
+        return apply_scaling(out, scl, axis)
+
+    def At(dat, M, Minv, scl):
+        out = apply_scaling(dat, scl, axis)
+        out = blur_up(out, ker, ratio)
+        return push(out, M, po.dim_y, Minv=Minv, window=window)
+
+    def AtA(dat, M, Minv, scl):
+        out = pull(dat, M, po.dim_yx)
+        out = blur_down(out, ker, ratio)
+        out = apply_scaling(out, 2.0 * scl, axis)
+        out = blur_up(out, ker, ratio)
+        return push(out, M, po.dim_y, Minv=Minv, window=window)
+
+    return A, At, AtA
+
+
+def obs_dyn_args(po: ProjOp, method: str, rigid: np.ndarray | None = None):
+    """(M, Minv) device operands for the observation's current rigid pose."""
+    M = po.M_sr(rigid) if method == "super-resolution" else po.M_den(rigid)
+    M4 = np.eye(4)
+    M4[:3, :4] = M
+    Minv = np.linalg.inv(M4)[:3, :4].astype(np.float32)
+    return jnp.asarray(M), jnp.asarray(Minv)
+
+
+# ---------------------------------------------------------------------------
+# Step-size / aux (host helpers; reference unires/_update.py:17-64)
+# ---------------------------------------------------------------------------
+
+def admm_aux(C: int, dim_y) -> tuple:
+    shape = (C, 3) + tuple(dim_y)
+    return jnp.zeros(shape, jnp.float32), jnp.zeros(shape, jnp.float32)
+
+
+def step_size(x, y, sett) -> float:
+    """rho = rho_scl * sqrt(mean tau) / mean lam; 1.0 for CT (ref :35-64)."""
+    if any(o.ct for c in x for o in c):
+        return 1.0
+    if sett.rho is not None:
+        return float(sett.rho)
+    taus = [o.tau for c in x for o in c]
+    lams = [c.lam for c in y]
+    return float(sett.rho_scl) * float(np.sqrt(np.mean(taus)) / np.mean(lams))
+
+
+# ---------------------------------------------------------------------------
+# The jitted outer iteration
+# ---------------------------------------------------------------------------
+
+def make_admm_step(x, y, sett) -> Callable:
+    """Build the jitted ADMM iteration for this problem's static geometry.
+
+    Returned signature:
+        step(ys, z, w, xdats, Ms, Minvs, scls, taus, lams, rho)
+          -> (ys, z, w, jtv, obj)
+    with ys (C,*dim_y); z/w (C,3,*dim_y); nested tuples for per-observation
+    args; obj (3,) f32 = (-ln p(y|x), -ln p(x|y), -ln p(y)).
+    """
+    C = len(x)
+    method = sett.method
+    do_proj = sett.do_proj
+    diff = sett.diff
+    vx_y = tuple(np.sqrt((np.asarray(y[0].mat, np.float64)[:3, :3] ** 2).sum(0)).astype(np.float32))
+    alpha = float(sett.alpha)
+    cg_iter = int(sett.cgs_max_iter)
+    cg_tol = float(sett.cgs_tol)
+    compute_obj = sett.tolerance > 0
+    tiny = 1e-7
+
+    ops = [[make_obs_ops(o.po, method) for o in x[c]] for c in range(C)]
+
+    def grad_c(yc, lam):
+        return lam * im_gradient(yc, vx_y, diff)
+
+    def step(ys, z, w, xdats, Ms, Minvs, scls, taus, lams, rho):
+        # ---- y-update (per channel; CG on the normal equations) ----
+        new_ys = []
+        for c in range(C):
+            lam = lams[c]
+            rhs = jnp.zeros_like(ys[c])
+            for n in range(len(x[c])):
+                A, At, AtA = ops[c][n]
+                if do_proj:
+                    rhs = rhs + taus[c][n] * At(xdats[c][n], Ms[c][n], Minvs[c][n], scls[c][n])
+                else:
+                    rhs = rhs + taus[c][n] * xdats[c][n]
+            div = im_divergence(w[c] - rho * z[c], vx_y, diff)
+            rhs = rhs - lam * div
+
+            def lhs(v, c=c, lam=lam):
+                out = rho * lam * lam * im_divergence(im_gradient(v, vx_y, diff), vx_y, diff)
+                for n in range(len(x[c])):
+                    A, At, AtA = ops[c][n]
+                    if do_proj:
+                        out = out + taus[c][n] * AtA(v, Ms[c][n], Minvs[c][n], scls[c][n])
+                    else:
+                        out = out + taus[c][n] * v
+                return out
+
+            yc = cg(lhs, rhs, ys[c], max_iter=cg_iter, tol=cg_tol)
+            new_ys.append(yc)
+        ys = jnp.stack(new_ys)
+
+        # ---- objective (reference _compute_nll, :396-427) ----
+        if compute_obj:
+            nll_xy = jnp.float32(0.0)
+            for c in range(C):
+                for n in range(len(x[c])):
+                    A, At, AtA = ops[c][n]
+                    if do_proj:
+                        Ay = A(ys[c], Ms[c][n], Minvs[c][n], scls[c][n])
+                    else:
+                        Ay = ys[c]
+                    msk = xdats[c][n] != 0
+                    res = jnp.where(msk, xdats[c][n] - Ay, 0.0)
+                    nll_xy = nll_xy + 0.5 * taus[c][n] * jnp.sum(res * res)
+        else:
+            nll_xy = jnp.float32(0.0)
+
+        # ---- gradients for z/w (and the JTV prior term of the objective) ----
+        Dys = jax.vmap(grad_c)(ys, lams)  # (C, 3, *dim_y)
+        nll_y = jnp.sum(jnp.sqrt(jnp.sum(Dys * Dys, axis=(0, 1))))
+
+        if alpha != 1.0:  # over/under-relaxation (reference :163-190)
+            Dys_rel = alpha * Dys + (1.0 - alpha) * z
+        else:
+            Dys_rel = Dys
+
+        # ---- z-update: multi-channel group shrinkage (reference :163-181) ----
+        u = w / rho + Dys_rel
+        mag = jnp.sqrt(jnp.sum(u * u, axis=(0, 1)))
+        shrink = jnp.maximum(mag - 1.0 / rho, 0.0) / (mag + tiny)
+        z = shrink[None, None] * u
+
+        # ---- w-update: dual ascent (reference :186-193) ----
+        w = w + rho * (Dys_rel - z)
+
+        obj = jnp.stack([nll_xy + nll_y, nll_xy, nll_y])
+        return ys, z, w, shrink, obj
+
+    return jax.jit(step, donate_argnums=(0, 1, 2))
+
+
+def make_compute_nll(x, y, sett) -> Callable:
+    """Standalone objective (used at iteration 0 / for diagnostics)."""
+    C = len(x)
+    method = sett.method
+    do_proj = sett.do_proj
+    diff = sett.diff
+    vx_y = tuple(np.sqrt((np.asarray(y[0].mat, np.float64)[:3, :3] ** 2).sum(0)).astype(np.float32))
+    ops = [[make_obs_ops(o.po, method) for o in x[c]] for c in range(C)]
+
+    def nll(ys, xdats, Ms, Minvs, scls, taus, lams):
+        nll_xy = jnp.float32(0.0)
+        for c in range(C):
+            for n in range(len(x[c])):
+                A, _, _ = ops[c][n]
+                Ay = A(ys[c], Ms[c][n], Minvs[c][n], scls[c][n]) if do_proj else ys[c]
+                msk = xdats[c][n] != 0
+                res = jnp.where(msk, xdats[c][n] - Ay, 0.0)
+                nll_xy = nll_xy + 0.5 * taus[c][n] * jnp.sum(res * res)
+        Dys = jax.vmap(lambda yc, lam: lam * im_gradient(yc, vx_y, diff))(ys, lams)
+        nll_y = jnp.sum(jnp.sqrt(jnp.sum(Dys * Dys, axis=(0, 1))))
+        return jnp.stack([nll_xy + nll_y, nll_xy, nll_y])
+
+    return jax.jit(nll)

@@ -1,0 +1,63 @@
+"""Matrix-free conjugate gradients with max-gain stopping.
+
+Re-implements nitorch.core.optim.cg semantics as pinned by its call-site in
+the reference y-update (unires/_update.py:140-148: inplace CG on (sum tau
+AtA + rho lam^2 DtD), 20 iterations, stop='max_gain', tol 1e-3), as a
+``jax.lax.while_loop`` so the whole ADMM step stays on device under one jit.
+
+Gain definition (nitorch get_gain): gain_k = (f_{k-1} - f_k) / (max f - min f)
+over the objective trace f_k = 1/2 y^T A y - b^T y, tracked incrementally via
+running max/min (no history buffer needed on device).
+"""
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+def cg(A: Callable[[Array], Array], b: Array, x0: Array, max_iter: int = 20,
+       tol: float = 1e-3, precond: Callable[[Array], Array] | None = None) -> Array:
+    """Solve A x = b for SPD matrix-free A, starting at x0. jit-safe."""
+    if precond is None:
+        precond = lambda v: v
+
+    def dot(a, c):
+        return jnp.sum(a * c)
+
+    r0 = b - A(x0)
+    z0 = precond(r0)
+    p0 = z0
+    rz0 = dot(r0, z0)
+    # objective f = 1/2 x^T A x - b^T x = -1/2 (<x,b> + <x,r>)
+    f0 = -0.5 * (dot(x0, b) + dot(x0, r0))
+
+    def body(carry):
+        x, r, p, rz, f_prev, f_max, f_min, it, done = carry
+        Ap = A(p)
+        pAp = dot(p, Ap)
+        alpha = rz / jnp.maximum(pAp, jnp.float32(1e-30))
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = precond(r)
+        rz_new = dot(r, z)
+        beta = rz_new / jnp.maximum(rz, jnp.float32(1e-30))
+        p = z + beta * p
+        f = -0.5 * (dot(x, b) + dot(x, r))
+        f_max = jnp.maximum(f_max, f)
+        f_min = jnp.minimum(f_min, f)
+        denom = jnp.maximum(f_max - f_min, jnp.float32(1e-30))
+        gain = (f_prev - f) / denom
+        done = (it >= 1) & (jnp.abs(gain) < tol)
+        return x, r, p, rz_new, f, f_max, f_min, it + 1, done
+
+    def cond(carry):
+        *_, it, done = carry
+        return (it < max_iter) & jnp.logical_not(done)
+
+    init = (x0, r0, p0, rz0, f0, f0, f0, jnp.int32(0), jnp.bool_(False))
+    out = jax.lax.while_loop(cond, body, init)
+    return out[0]
