@@ -1,0 +1,97 @@
+"""Benchmark: 3-channel BrainWeb-scale super-resolution (BASELINE.md).
+
+Reproduces the reference's headline workload: 3 channels at 181x217x181,
+1 mm ground truth, degraded to 4 mm thick slices (rotated thick axis per
+channel via the acquisition affine), sigma~noise, reconstructed to 1 mm
+isotropic with the full ADMM pipeline.
+
+Prints ONE JSON line:
+  {"metric": "sec_per_admm_iter_3ch", "value": <s>, "unit": "s",
+   "vs_baseline": <value / 2.1>}   # 2.1 s/iter = reference RTX 6000 Ada
+plus auxiliary fields (total wall-clock, iterations, PSNR vs ground truth).
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, ".")
+    from tests.phantoms import blob_phantom  # synthetic GT (BrainWeb absent)
+    from unires_tpu import Settings, init
+    from unires_tpu.geometry import affine_matrix_classic, affine_diag
+    from unires_tpu.models.forward import proj_apply
+    from unires_tpu.models.proj_op import proj_info
+    from unires_tpu.pipeline.fit import fit as fit_solver
+
+    # --- build the 3-channel workload (dims as in the reference demos) ---
+    dim_y = (181, 217, 181)
+    rng = np.random.default_rng(0)
+    gt = blob_phantom(dim=dim_y, n_blobs=24, amplitude=2000.0, seed=0)
+    gtj = jnp.asarray(gt)
+
+    # warm up the device transfer path (first transfer pays tunnel init)
+    np.asarray(jnp.ones(8) + 1)
+
+    chans = []
+    thick_axes = [2, 1, 0]
+    for c in range(3):
+        ax = thick_axes[c]
+        vx = [1.0, 1.0, 1.0]
+        vx[ax] = 4.0
+        mat_x = affine_diag(vx)
+        dim_x = list(dim_y)
+        dim_x[ax] = int(np.ceil(dim_y[ax] / 4.0))
+        rp = rng.uniform(-2, 2, 3).tolist() + rng.uniform(-0.02, 0.02, 3).tolist()
+        rigid = affine_matrix_classic(rp)
+        po = proj_info(dim_y, np.eye(4), tuple(dim_x), mat_x, rigid=rigid,
+                       prof_ip=2, prof_tp=0)
+        x = np.asarray(proj_apply("A", gtj, po, "super-resolution"))
+        x = x + 40.0 * rng.standard_normal(x.shape).astype(np.float32)
+        chans.append([x.astype(np.float32), mat_x])
+
+    # --- run the pipeline (coreg on, like the reference demo) ---
+    sett = Settings(vx=1.0, do_print=0, write_out=False, tolerance=1e-4,
+                    sched_num=3, reg_scl=4.0, do_coreg=True)
+    t0 = time.time()
+    x, y, sett = init(chans, sett)
+    t_init = time.time() - t0
+
+    t0 = time.time()
+    y, R, jtv, obj, n_iter = fit_solver(x, y, sett)
+    t_fit = time.time() - t0
+    sec_per_iter = t_fit / max(n_iter, 1)
+
+    # quality: PSNR of channel 0 vs ground truth on the recon grid
+    from unires_tpu.ops.resample import affine_to_M, pull
+
+    M = affine_to_M(np.linalg.solve(np.eye(4), y[0].mat))
+    gt_on_y = np.asarray(pull(gtj, M, y[0].dim))
+    rec = np.asarray(y[0].dat)
+    msk = gt_on_y > 0
+    mse = float(np.mean((rec[msk] - gt_on_y[msk]) ** 2))
+    psnr = 10.0 * np.log10(float(gt_on_y.max()) ** 2 / max(mse, 1e-12))
+
+    result = {
+        "metric": "sec_per_admm_iter_3ch",
+        "value": round(sec_per_iter, 4),
+        "unit": "s",
+        # reference: ~2.1 s/iter (C=3, RTX 6000 Ada; BASELINE.md) -> <1 = faster
+        "vs_baseline": round(sec_per_iter / 2.1, 4),
+        "total_fit_s": round(t_fit, 2),
+        "init_s": round(t_init, 2),
+        "n_iter": int(n_iter),
+        "psnr_db": round(psnr, 2),
+        "nll_first": float(obj[0, 0]) if len(obj) else None,
+        "nll_last": float(obj[-1, 0]) if len(obj) else None,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,70 @@
+"""Pallas shift-and-select kernels: interpret-mode equivalence + adjointness.
+
+(The real-TPU behavior — including the hardware dynamic_rotate direction bug
+and DMA alignment rules — is exercised by bench.py / the verify recipe; these
+tests pin the kernel semantics against the XLA reference on CPU.)
+"""
+import contextlib
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from unires_tpu.geometry import affine_matrix_classic
+from unires_tpu.ops.pallas_resample import (pallas_pull, pallas_push,
+                                            plan_pull, plan_push)
+from unires_tpu.ops.resample import affine_to_M, pull as xla_pull, push as xla_push
+
+IN_DIM = (40, 44, 140)
+OUT_DIM = (38, 42, 138)
+
+AFFINES = [
+    ("identity", np.eye(4)),
+    ("shift", affine_matrix_classic([2.3, -1.7, 0.4])),
+    ("smallrot", affine_matrix_classic([1.1, -0.6, 0.3, 0.02, -0.01, 0.015])),
+]
+
+
+@pytest.mark.parametrize("name,mat", AFFINES)
+def test_pull_matches_xla(name, mat):
+    rng = np.random.default_rng(0)
+    vol = jnp.asarray(rng.random(IN_DIM, dtype=np.float32))
+    M = affine_to_M(mat)
+    plan = plan_pull(IN_DIM, OUT_DIM, mat[:3, :4])
+    assert plan is not None
+    with pltpu.force_tpu_interpret_mode():
+        got = pallas_pull(vol, M, OUT_DIM, plan)
+    want = xla_pull(vol, M, OUT_DIM)
+    assert np.allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+@pytest.mark.parametrize("name,mat", AFFINES)
+def test_push_matches_xla_and_adjoint(name, mat):
+    rng = np.random.default_rng(1)
+    vals = jnp.asarray(rng.random(OUT_DIM, dtype=np.float32))
+    vol = jnp.asarray(rng.random(IN_DIM, dtype=np.float32))
+    M = affine_to_M(mat)
+    M4 = np.eye(4)
+    M4[:3, :4] = np.asarray(M)
+    Minv = jnp.asarray(np.linalg.inv(M4)[:3, :4].astype(np.float32))
+    pplan = plan_push(OUT_DIM, IN_DIM, mat[:3, :4])
+    fplan = plan_pull(IN_DIM, OUT_DIM, mat[:3, :4])
+    assert pplan is not None
+    with pltpu.force_tpu_interpret_mode():
+        got = pallas_push(vals, M, Minv, IN_DIM, pplan)
+        Ay = pallas_pull(vol, M, OUT_DIM, fplan)
+    want = xla_push(vals, M, IN_DIM)
+    # equal up to f32 rounding of the incremental weight evaluation
+    scale = float(jnp.max(jnp.abs(want))) + 1e-6
+    assert np.allclose(np.asarray(got), np.asarray(want), atol=1e-4 * scale + 1e-5)
+    # adjointness of the pallas pair
+    lhs = float(jnp.sum(Ay * vals))
+    rhs = float(jnp.sum(got * vol))
+    assert abs(lhs - rhs) < 2e-5 * abs(lhs)
+
+
+def test_plan_fallback_for_extreme_rotation():
+    mat = affine_matrix_classic([0, 0, 0, 0.6, 0.6, 0.6])  # ~34 degrees
+    assert plan_pull((64, 64, 256), (64, 64, 256), mat[:3, :4]) is None

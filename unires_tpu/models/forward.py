@@ -17,16 +17,122 @@ elementwise scaling into the convs.
 """
 from __future__ import annotations
 
+import os
 from typing import Literal
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 
-from ..ops.conv import blur_down, blur_up
-from ..ops.resample import pull, push
+from ..ops.conv import blur_down_sep, blur_up_sep
+from ..ops.pallas_resample import (pallas_pull, pallas_push, plan_pull,
+                                   plan_push)
+from ..ops.resample import pull, push, push_window
 from ..ops.scaling import apply_scaling
 from .proj_op import ProjOp
 
 Method = Literal["super-resolution", "denoising"]
+
+
+def _use_pallas() -> bool:
+    env = os.environ.get("UNIRES_TPU_BACKEND", "auto")
+    if env == "pallas":
+        return True
+    if env == "xla":
+        return False
+    return jax.default_backend() == "tpu"
+
+
+def make_resample_ops(po: ProjOp, method: Method):
+    """(pull_fn, push_fn) for one observation's geometry.
+
+    Dispatch: Pallas shift-and-select kernels on TPU whenever the nominal
+    affine admits a bounded window plan (always for this pipeline's operators:
+    pull/push act between ~same-resolution grids); XLA gather fallback
+    otherwise (CPU tests, tiny volumes, extreme affines).
+
+    pull_fn(dat, M) and push_fn(dat, M, Minv) take the DYNAMIC (3,4) maps so
+    rigid-pose updates never retrace.
+    """
+    src_dim = po.dim_yx if method == "super-resolution" else po.dim_x
+    dim_y = po.dim_y
+    M_nom = po.M_sr() if method == "super-resolution" else po.M_den()
+
+    pplan = fplan = None
+    if _use_pallas():
+        fplan = plan_pull(dim_y, src_dim, M_nom)
+        pplan = plan_push(src_dim, dim_y, M_nom)
+
+    if fplan is not None:
+        def pull_fn(dat, M):
+            return pallas_pull(dat, M, src_dim, fplan)
+    else:
+        def pull_fn(dat, M):
+            return pull(dat, M, src_dim)
+
+    if pplan is not None:
+        def push_fn(dat, M, Minv):
+            return pallas_push(dat, M, Minv, dim_y, pplan)
+    else:
+        window = push_window(M_nom)
+
+        def push_fn(dat, M, Minv):
+            return push(dat, M, dim_y, Minv=Minv, window=window)
+
+    return pull_fn, push_fn
+
+
+def make_obs_ops(po: ProjOp, method: Method):
+    """A / At / AtA callables for one observation (dynamic M/Minv/scl args).
+
+    The full chains of the reference _proj_apply (unires/_project.py:99-190):
+    resampling via :func:`make_resample_ops`, slice-profile blur/decimation on
+    XLA convs, diagonal even/odd scaling fused by XLA.
+    """
+    pull_fn, push_fn = make_resample_ops(po, method)
+    if method == "denoising":
+        def A(dat, M, Minv, scl):
+            return pull_fn(dat, M)
+
+        def At(dat, M, Minv, scl):
+            return push_fn(dat, M, Minv)
+
+        def AtA(dat, M, Minv, scl):
+            return push_fn(pull_fn(dat, M), M, Minv)
+
+        return A, At, AtA
+
+    kers = po.smo_ker_1d
+    ratio = po.ratio
+    axis = po.dim_thick
+
+    def A(dat, M, Minv, scl):
+        out = pull_fn(dat, M)
+        out = blur_down_sep(out, kers, ratio)
+        return apply_scaling(out, scl, axis)
+
+    def At(dat, M, Minv, scl):
+        out = apply_scaling(dat, scl, axis)
+        out = blur_up_sep(out, kers, ratio)
+        return push_fn(out, M, Minv)
+
+    def AtA(dat, M, Minv, scl):
+        out = pull_fn(dat, M)
+        out = blur_down_sep(out, kers, ratio)
+        out = apply_scaling(out, 2.0 * scl, axis)
+        out = blur_up_sep(out, kers, ratio)
+        return push_fn(out, M, Minv)
+
+    return A, At, AtA
+
+
+def obs_dyn_args(po: ProjOp, method: Method, rigid=None):
+    """(M, Minv) device operands for the observation's current rigid pose."""
+    M = po.M_sr(rigid) if method == "super-resolution" else po.M_den(rigid)
+    M4 = np.eye(4)
+    M4[:3, :4] = M
+    Minv = np.linalg.inv(M4)[:3, :4].astype(np.float32)
+    return jnp.asarray(M), jnp.asarray(Minv)
 
 
 def proj_apply(operator: str, dat, po: ProjOp, method: Method, M=None, scl=None):
@@ -49,39 +155,16 @@ def proj_apply(operator: str, dat, po: ProjOp, method: Method, M=None, scl=None)
     if method not in ("super-resolution", "denoising"):
         raise ValueError(f"Undefined method {method!r}")
 
-    scl = po.scl if scl is None else scl
-    has_scl = not (isinstance(scl, float) and scl == 0.0)
-
-    if method == "denoising":
-        M = jnp.asarray(po.M_den(), jnp.float32) if M is None else M
-        if operator == "A":
-            return pull(dat, M, po.dim_x)
-        if operator == "At":
-            return push(dat, M, po.dim_y)
-        return push(pull(dat, M, po.dim_x), M, po.dim_y)
-
-    # super-resolution
-    M = jnp.asarray(po.M_sr(), jnp.float32) if M is None else M
-    ker = jnp.asarray(po.smo_ker)
-    if operator == "A":
-        out = pull(dat, M, po.dim_yx)
-        out = blur_down(out, ker, po.ratio)
-        if has_scl:
-            out = apply_scaling(out, scl, po.dim_thick)
-        return out
-    if operator == "At":
-        out = dat
-        if has_scl:
-            out = apply_scaling(out, scl, po.dim_thick)
-        out = blur_up(out, ker, po.ratio)
-        return push(out, M, po.dim_y)
-    # AtA
-    out = pull(dat, M, po.dim_yx)
-    out = blur_down(out, ker, po.ratio)
-    if has_scl:
-        out = apply_scaling(out, 2.0 * scl, po.dim_thick)
-    out = blur_up(out, ker, po.ratio)
-    return push(out, M, po.dim_y)
+    scl = jnp.float32(po.scl if scl is None else scl)
+    if M is None:
+        M, Minv = obs_dyn_args(po, method)
+    else:
+        M4 = np.eye(4)
+        M4[:3, :4] = np.asarray(M, np.float64)
+        Minv = jnp.asarray(np.linalg.inv(M4)[:3, :4].astype(np.float32))
+    ops = make_obs_ops(po, method)
+    fn = {"A": ops[0], "At": ops[1], "AtA": ops[2]}[operator]
+    return fn(dat, M, Minv, scl)
 
 
 def check_adjoint(po: ProjOp, method: Method, seed: int = 0):

@@ -38,7 +38,8 @@ class ProjOp:
     dim_yx: Tuple[int, int, int]
     mat_yx: np.ndarray
     ratio: Tuple[int, int, int]
-    smo_ker: np.ndarray  # (kx,ky,kz) f32
+    smo_ker: np.ndarray  # (kx,ky,kz) f32 (full ND kernel, = outer(smo_ker_1d))
+    smo_ker_1d: Tuple[np.ndarray, ...]  # per-axis 1D factors (f32)
     dim_thick: int
     rigid: np.ndarray  # (4,4) f64 — dynamic during fit
     scl: float = 0.0  # even/odd scaling — dynamic during fit
@@ -117,9 +118,12 @@ def proj_info(
         vx_x = voxel_size(mat_x)
 
     # Intermediate 'yx' space: integer decimation ratio (reference :266-271).
+    # The 1e-4 guard keeps rotation-induced float noise (column norms are
+    # rotation-invariant, so e.g. 1+1e-9 is really 1) from bumping the ceil
+    # to the next integer, which would double dim_yx for nothing.
     ratio = np.linalg.solve(mat_y, mat_x)
     ratio = np.sqrt((ratio[:ndim, :ndim] ** 2).sum(axis=0))
-    ratio = np.maximum(np.ceil(ratio), 1.0)
+    ratio = np.maximum(np.ceil(ratio - 1e-4), 1.0)
     mat_ratio = np.diag(np.concatenate([ratio, [1.0]]))
     mat_yx = mat_x @ np.linalg.inv(mat_ratio)
     dim_yx = (dim_x - 1.0) * ratio + 1.0
@@ -127,9 +131,14 @@ def proj_info(
     # Axes that are not decimated use a dirac profile (reference :273).
     profile = np.where(ratio == 1.0, -1, profile)
 
-    # Slice-profile kernel (reference :276-278).
+    # Slice-profile kernel (reference :276-278). The ND kernel is the outer
+    # product of per-axis 1D kernels; the factors drive the polyphase blur.
     fwhm = (1.0 - gap_cn) * ratio
     smo_ker = smooth_kernel(profile, fwhm, dtype=np.float32)
+    from ..kernels import kernel_1d
+
+    smo_ker_1d = tuple(kernel_1d(int(profile[d]), float(fwhm[d])).astype(np.float32)
+                       for d in range(ndim))
 
     # Pad the intermediate space by the kernel support so the VALID strided
     # conv lands exactly on dim_x (reference :279-285).
@@ -151,6 +160,7 @@ def proj_info(
         mat_yx=mat_yx,
         ratio=tuple(int(v) for v in ratio),
         smo_ker=smo_ker,
+        smo_ker_1d=smo_ker_1d,
         dim_thick=dim_thick,
         rigid=rigid,
         scl=float(scl),

@@ -1,0 +1,418 @@
+"""Pallas TPU kernels for affine pull/push resampling.
+
+Design ("shift-and-select", no gathers):
+
+TPUs have no fast gather/scatter: Mosaic's in-kernel dynamic gather is
+~3.4 Gelt/s (measured, v5e) and XLA's gather/scatter at volume scale is
+catastrophic (387 ms pull / hung scatter compile at 181^3). But the affine
+maps this framework produces are near scaled-permutations (decimation lives
+in the strided conv; pull/push map between ~same-resolution grids), so for an
+output TILE the source footprint per axis spans only a few voxels beyond the
+tile itself. The kernel exploits that:
+
+  * grid over output tiles (TX, TY, TZ); the (3,4) affine arrives as
+    scalar-prefetch operands (it is DYNAMIC — the rigid pose updates every
+    iteration without retracing);
+  * per tile, the kernel computes the source bounding box from the affine
+    (8 corners, scalar ops) and DMAs one block HBM->VMEM with dynamic
+    offsets. Mosaic constraints (v5e, measured): DMA slice SIZES on the minor
+    two dims must be (8, 128)-aligned, so the scratch spans the whole
+    (128-padded) z axis (z offset fixed at 0) and y offsets are quantized to
+    8 with an extra +8 of cover; the source is zero-padded on device to the
+    aligned box (padding never contributes — weights check TRUE dims);
+  * per-element source indices decompose as  block_anchor + tile-local base +
+    small offset ; anchors are reduced per-tile from the FOV-masked index
+    field, so FOV-edge tiles are handled EXACTLY without halo padding;
+  * the small offsets are enumerated by a static window (sized at trace time
+    from the nominal affine with slack for rigid drift): the scratch is
+    pre-aligned with three modular rolls (tpu.dynamic_rotate; wrap only ever
+    feeds zero-weighted elements), then each (u, v, w) iteration is a static
+    slab slice + VPU select-multiply-accumulate. Zero gathers, zero scatters.
+
+Adjoint (push) uses the same scaffolding with the inverse-map anchor and
+recomputes each candidate's pull weight arithmetically (the bounded-window
+scatter-free adjoint; see ops.resample.push_window for the math).
+
+Known knife-edge: at sample coordinates EXACTLY on the FOV boundary (g_d ==
+-0.5 or dim-0.5) the f32 rounding of pull's direct evaluation and push's
+incremental evaluation can disagree, flipping that boundary voxel's mask.
+Measure-zero in practice; documented convention.
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+_BIG = 1 << 20  # python int: jnp scalars would be captured as kernel consts
+
+
+def _round_up(x, m):
+    return int(-(-x // m) * m)
+
+
+def _corner_min(m, origin, tile):
+    """Per-axis min of g over the tile's 8 corners. Scalar ops."""
+    mins = []
+    for d in range(3):
+        lo = m[d][3]
+        for e in range(3):
+            c0 = m[d][e] * origin[e]
+            c1 = m[d][e] * (origin[e] + tile[e] - 1)
+            lo = lo + jnp.minimum(c0, c1)
+        mins.append(lo)
+    return mins
+
+
+def _axis_weight(rel, u0, f, u, src_idx=None, dim=None):
+    """Trilinear weight contribution of slab offset u on one axis.
+
+    Slab offset u holds source index anchor+base+u; it is corner i0 (weight
+    1-f) for elements with rel-u0 == u and corner i0+1 (weight f) for
+    elements with rel-u0 == u-1. ``src_idx``/``dim`` apply the zero bound:
+    out-of-range corners contribute 0 (reference extrapolate=False +
+    bound='zero', unires/_project.py:162-164).
+    """
+    du = rel - u0
+    w = jnp.where(du == u, 1.0 - f, 0.0)
+    if u >= 1:
+        w = jnp.where(du == u - 1, f, w)
+    if src_idx is not None:
+        w = jnp.where((src_idx >= 0) & (src_idx < dim), w, 0.0)
+    return w
+
+
+def _masked_min(vals, mask):
+    return jnp.min(jnp.where(mask, vals, _BIG))
+
+
+def _anchor_dma(mins, lo3, pad_dim, cover, vol_ref, scratch, sem):
+    """Per-tile DMA origin (x free, y 8-quantized, z pinned at 0) + start."""
+    s = []
+    for d, q in zip(range(3), (1, 8, 0)):
+        sd = jnp.floor(mins[d]).astype(jnp.int32) - lo3[d] - 2
+        if q == 0:
+            sd = jnp.int32(0)
+        else:
+            sd = jnp.clip(sd, 0, pad_dim[d] - cover[d])
+            if q > 1:
+                sd = (sd // q) * q
+        s.append(sd)
+    cp = pltpu.make_async_copy(
+        vol_ref.at[pl.ds(s[0], cover[0]), pl.ds(s[1], cover[1]),
+                   pl.ds(s[2], cover[2])],
+        scratch, sem)
+    cp.start()
+    return s, cp
+
+
+def _pull_kernel(tile, cover, win, in_dim, pad_dim, kernel_refs):
+    """Body of the pull kernel. All sizes static; M dynamic via scalars."""
+    m_ref, vol_ref, out_ref, scratch, sem = kernel_refs
+    TX, TY, TZ = tile
+    WX, WY, WZ = win
+
+    m = [[m_ref[4 * d + c] for c in range(4)] for d in range(3)]
+    origin = [pl.program_id(i) * tile[i] for i in range(3)]
+    of = [jnp.float32(o) for o in origin]
+
+    mins = _corner_min(m, of, tile)
+    s, cp = _anchor_dma(mins, (0, 0, 0), pad_dim, cover, vol_ref, scratch, sem)
+
+    # per-element sample coordinates (fused iota + affine; int iota only —
+    # Mosaic's tpu.iota has no float variant)
+    base = [
+        jax.lax.broadcasted_iota(jnp.int32, (TX, TY, TZ), d) for d in range(3)
+    ]
+    ii = base[0].astype(jnp.float32) + of[0]
+    jj = base[1].astype(jnp.float32) + of[1]
+    kk = base[2].astype(jnp.float32) + of[2]
+    g = [m[d][0] * ii + m[d][1] * jj + m[d][2] * kk + m[d][3] for d in range(3)]
+    fov = ((g[0] >= -0.5) & (g[0] <= in_dim[0] - 0.5)
+           & (g[1] >= -0.5) & (g[1] <= in_dim[1] - 0.5)
+           & (g[2] >= -0.5) & (g[2] <= in_dim[2] - 0.5))
+
+    rel, frac, u0 = [], [], []
+    for d in range(3):
+        l = g[d] - s[d].astype(jnp.float32)
+        i0 = jnp.floor(l)
+        frac.append(l - i0)
+        r = i0.astype(jnp.int32) - base[d]
+        rel.append(r)
+        # anchor = min over in-FOV elements (may be negative near the low
+        # volume edge); the clip only tames the all-masked-tile case
+        ud = jnp.clip(_masked_min(r, fov), -(cover[d] - 1), cover[d] - 1)
+        u0.append(ud)
+
+    # per-axis, per-offset weights with zero-bound corner validity
+    # (source corner index at offset u is s + u0 + u + base)
+    su = [s[d] + u0[d] for d in range(3)]
+    wxs = [_axis_weight(rel[0], u0[0], frac[0], u, su[0] + u + base[0], in_dim[0])
+           for u in range(WX)]
+    wys = [_axis_weight(rel[1], u0[1], frac[1], u, su[1] + u + base[1], in_dim[1])
+           for u in range(WY)]
+    fovf = fov.astype(jnp.float32)
+    wzs = [_axis_weight(rel[2], u0[2], frac[2], u, su[2] + u + base[2], in_dim[2])
+           * fovf for u in range(WZ)]
+
+    cp.wait()
+    # Modular rolls by the anchors: every nonzero-weight fetch has its true
+    # source inside the block, so roll wrap-around only ever feeds
+    # zero-weighted elements. Static slab slices after the rolls.
+    scr = scratch[:]
+    for d in range(3):
+        # non-negative shifts only: hardware dynamic_rotate mishandles
+        # negative shifts on the non-lane axes (verified on v5e)
+        scr = pltpu.roll(scr, jnp.remainder(-u0[d], scr.shape[d]), d)
+
+    acc = jnp.zeros((TX, TY, TZ), jnp.float32)
+    for u in range(WX):
+        for v in range(WY):
+            slab = scr[u:u + TX, v:v + TY, :]
+            tmp = jnp.zeros((TX, TY, TZ), jnp.float32)
+            for w in range(WZ):
+                tmp = tmp + wzs[w] * slab[:, :, w:w + TZ]
+            acc = acc + (wxs[u] * wys[v]) * tmp
+    out_ref[:] = acc
+
+
+def _push_kernel(tile, cover, win, lo, in_dim, pad_dim, out_dim, kernel_refs):
+    """Body of the push kernel (exact adjoint of pull, gather-formulated).
+
+    Output tile lives on the TARGET grid (dim = out_dim); the source values
+    (pull's output grid, dim = in_dim) are DMA'd around the inverse-map
+    anchor. Each candidate's weight is the pull weight of (source o ->
+    target v), recomputed arithmetically.
+    """
+    m_ref, vol_ref, out_ref, scratch, sem = kernel_refs
+    TX, TY, TZ = tile
+    WX, WY, WZ = win
+
+    # scalars: first 12 = M (source->target), next 12 = Minv (target->source)
+    m = [[m_ref[4 * d + c] for c in range(4)] for d in range(3)]
+    mi = [[m_ref[12 + 4 * d + c] for c in range(4)] for d in range(3)]
+    origin = [pl.program_id(i) * tile[i] for i in range(3)]
+    of = [jnp.float32(o) for o in origin]
+
+    mins = _corner_min(mi, of, tile)
+    s, cp = _anchor_dma(mins, lo, pad_dim, cover, vol_ref, scratch, sem)
+
+    base = [
+        jax.lax.broadcasted_iota(jnp.int32, (TX, TY, TZ), d) for d in range(3)
+    ]
+    ii = base[0].astype(jnp.float32) + of[0]
+    jj = base[1].astype(jnp.float32) + of[1]
+    kk = base[2].astype(jnp.float32) + of[2]
+
+    # inverse-map anchor field
+    c = [mi[d][0] * ii + mi[d][1] * jj + mi[d][2] * kk + mi[d][3]
+         for d in range(3)]
+    rel, u0 = [], []
+    for d in range(3):
+        l = c[d] - s[d].astype(jnp.float32)
+        r = jnp.floor(l).astype(jnp.int32) - base[d]
+        rel.append(r)
+        # anchor lo[d] BELOW the floor field: candidates o with nonzero
+        # weight live in [c - L1, c + L1], i.e. down to rel - ceil(L1)
+        ud = jnp.clip(jnp.min(r) - lo[d], -(cover[d] - 1), cover[d] - 1)
+        u0.append(ud)
+
+    # g at the base candidate o0 = s + u0 + base (per-iteration: + M @ (u,v,w))
+    o0 = [(s[d] + u0[d] + base[d]).astype(jnp.float32) for d in range(3)]
+    g0 = [m[d][0] * o0[0] + m[d][1] * o0[1] + m[d][2] * o0[2] + m[d][3]
+          for d in range(3)]
+
+    cp.wait()
+    scr = scratch[:]
+    for d in range(3):
+        # non-negative shifts only: hardware dynamic_rotate mishandles
+        # negative shifts on the non-lane axes (verified on v5e)
+        scr = pltpu.roll(scr, jnp.remainder(-u0[d], scr.shape[d]), d)
+
+    # Branch-free trilinear weight: hat(v - g) = max(0, 1 - |v - g|) yields
+    # BOTH corner weights (1-f at the floor corner, f at floor+1, 0 outside)
+    # with no floor/compare chain. T_d = v_d - g_d at the base candidate;
+    # each offset subtracts a scalar M-column step.
+    vg = [(base[d] + origin[d]).astype(jnp.float32) for d in range(3)]
+    T0 = [vg[d] - g0[d] for d in range(3)]
+    # FOV of the candidate's sample point, folded per axis into the hat:
+    # hat != 0 implies g in (v-1, v+1) subset [-1, out): only the half-open
+    # boundary shells [-1,-0.5) and (out-0.5, out) need explicit masking.
+    # Candidate-in-source-range masks are per-axis/per-offset (precompute).
+    okx = [((s[0] + u0[0] + u + base[0] >= 0)
+            & (s[0] + u0[0] + u + base[0] < in_dim[0])).astype(jnp.float32)
+           for u in range(WX)]
+    oky = [((s[1] + u0[1] + v + base[1] >= 0)
+            & (s[1] + u0[1] + v + base[1] < in_dim[1])).astype(jnp.float32)
+           for v in range(WY)]
+    okz = [((s[2] + u0[2] + w + base[2] >= 0)
+            & (s[2] + u0[2] + w + base[2] < in_dim[2])).astype(jnp.float32)
+           for w in range(WZ)]
+
+    acc = jnp.zeros((TX, TY, TZ), jnp.float32)
+    for u in range(WX):
+        for v in range(WY):
+            slab = scr[u:u + TX, v:v + TY, :]
+            # T at (u, v, 0) per axis; w steps subtract m[d][2]
+            Tuv = [T0[d] - (m[d][0] * u + m[d][1] * v) for d in range(3)]
+            okxy = okx[u] * oky[v]
+            for w in range(WZ):
+                wt = okxy * okz[w]
+                for d in range(3):
+                    t = Tuv[d] - m[d][2] * w
+                    wd = jnp.maximum(1.0 - jnp.abs(t), 0.0)
+                    gd = vg[d] - t
+                    wd = jnp.where((gd >= -0.5) & (gd <= out_dim[d] - 0.5),
+                                   wd, 0.0)
+                    wt = wt * wd
+                acc = acc + wt * slab[:, :, w:w + TZ]
+    out_ref[:] = acc
+
+
+# ---------------------------------------------------------------------------
+# Host-side planning
+# ---------------------------------------------------------------------------
+
+def _span(Mlin, tile, d):
+    """Static per-axis window size: span of (g_d - base_d) over a tile."""
+    s = abs(abs(Mlin[d][d]) - 1.0) * tile[d]
+    for e in range(3):
+        if e != d:
+            s += abs(Mlin[d][e]) * tile[e]
+    return s
+
+
+def _make_plan(in_dim, out_dim, span_fn, extra, max_iters):
+    """(tile, cover, pad_dim, win): cover = DMA/scratch box (aligned sizes),
+    pad_dim = source padded to contain any aligned-offset cover box."""
+    tile = (min(8, _round_up(out_dim[0], 8)),
+            min(8, _round_up(out_dim[1], 8)),
+            min(128, _round_up(out_dim[2], 128)))
+    # window = index span over the tile + 1 (fractional floor) + 1 (2nd
+    # corner); span_fn already includes the slack and any adjoint support
+    win = tuple(int(math.ceil(span_fn(tile, d))) + 2 for d in range(3))
+    if win[0] * win[1] * win[2] > max_iters:
+        return None
+    pad_z = _round_up(max(in_dim[2], tile[2] + win[2] + extra), 128)
+    cover = (tile[0] + win[0] + extra,
+             _round_up(tile[1] + win[1] + extra, 8) + 8,  # +8: offset quantised
+             pad_z)  # full z: z DMA offset pinned at 0
+    pad_dim = (max(in_dim[0], cover[0]),
+               _round_up(max(in_dim[1], cover[1]), 8),
+               pad_z)
+    # VMEM sanity: scratch + a few tile temporaries must fit
+    if int(np.prod(cover)) * 4 > 8 * 1024 * 1024:
+        return None
+    return tile, cover, pad_dim, win
+
+
+def plan_pull(in_dim, out_dim, M_nominal, slack: float = 0.15,
+              max_iters: int = 1024):
+    """Pull plan, or None -> XLA fallback. Windows derive from the NOMINAL
+    affine + slack (the rigid pose drifts a little between retraces)."""
+    L = np.asarray(M_nominal, np.float64)[:3, :3]
+    return _make_plan(in_dim, out_dim,
+                      lambda tile, d: _span(L, tile, d) * (1.0 + slack),
+                      extra=4, max_iters=max_iters)
+
+
+def plan_push(in_dim, out_dim, M_nominal, slack: float = 0.15,
+              max_iters: int = 1024):
+    """Push plan (windows from the inverse map + interpolation support)."""
+    M4 = np.eye(4)
+    M4[:3, :4] = np.asarray(M_nominal, np.float64)[:3, :4]
+    Li = np.linalg.inv(M4)[:3, :3]
+    L1 = np.abs(Li).sum(axis=1)
+    # Exact accounting: candidates for target v satisfy |o_d - c_d| < L1_d,
+    # i.e. integers in [floor(c)-ceil(L1)+1, floor(c)+ceil(L1)]. With the
+    # anchor lo = ceil(L1)+1 below the per-tile floor-field minimum, slab
+    # offsets span ceil(field span) + 2 ceil(L1) + 2 (the +2 = anchor slack).
+    cl1 = [int(math.ceil(L1[d])) for d in range(3)]
+    lo = tuple(c + 1 for c in cl1)
+    plan = _make_plan(
+        in_dim, out_dim,
+        lambda tile, d: _span(Li, tile, d) * (1.0 + slack) + 2.0 * cl1[d],
+        extra=6, max_iters=max_iters)
+    if plan is None:
+        return None
+    return plan + (lo,)
+
+
+def _pad_to(vol, pad_dim):
+    pads = [(0, pad_dim[d] - vol.shape[d]) for d in range(3)]
+    if any(p[1] for p in pads):
+        vol = jnp.pad(vol, pads)
+    return vol
+
+
+# ---------------------------------------------------------------------------
+# pallas_call wrappers
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("plan", "in_dim", "out_dim"))
+def _pull_call(vol, M, plan, in_dim, out_dim):
+    tile, cover, pad_dim, win = plan
+    volp = _pad_to(vol, pad_dim)
+    grid = tuple(pl.cdiv(out_dim[d], tile[d]) for d in range(3))
+    kernel = functools.partial(_pull_kernel, tile, cover, win, in_dim, pad_dim)
+
+    def body(m_ref, vol_ref, out_ref, scratch, sem):
+        kernel((m_ref, vol_ref, out_ref, scratch, sem))
+
+    return pl.pallas_call(
+        body,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            out_specs=pl.BlockSpec(tile, lambda i, j, k, sc: (i, j, k),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM(cover, jnp.float32),
+                            pltpu.SemaphoreType.DMA(())],
+        ),
+        out_shape=jax.ShapeDtypeStruct(out_dim, jnp.float32),
+    )(M.reshape(-1), volp)
+
+
+@functools.partial(jax.jit, static_argnames=("plan", "in_dim", "out_dim"))
+def _push_call(vals, M, Minv, plan, in_dim, out_dim):
+    tile, cover, pad_dim, win, lo = plan
+    valsp = _pad_to(vals, pad_dim)
+    grid = tuple(pl.cdiv(out_dim[d], tile[d]) for d in range(3))
+    kernel = functools.partial(_push_kernel, tile, cover, win, lo, in_dim,
+                               pad_dim, out_dim)
+
+    def body(m_ref, vol_ref, out_ref, scratch, sem):
+        kernel((m_ref, vol_ref, out_ref, scratch, sem))
+
+    scal = jnp.concatenate([M.reshape(-1), Minv.reshape(-1)])
+    return pl.pallas_call(
+        body,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            out_specs=pl.BlockSpec(tile, lambda i, j, k, sc: (i, j, k),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM(cover, jnp.float32),
+                            pltpu.SemaphoreType.DMA(())],
+        ),
+        out_shape=jax.ShapeDtypeStruct(out_dim, jnp.float32),
+    )(scal, valsp)
+
+
+def pallas_pull(vol: Array, M: Array, out_dim, plan) -> Array:
+    """Trilinear affine pull (zero bound, no extrapolation) on TPU."""
+    return _pull_call(vol, M, plan, tuple(vol.shape), tuple(out_dim))
+
+
+def pallas_push(vals: Array, M: Array, Minv: Array, vol_dim, plan) -> Array:
+    """Exact adjoint of pallas_pull."""
+    return _push_call(vals, M, Minv, plan, tuple(vals.shape), tuple(vol_dim))

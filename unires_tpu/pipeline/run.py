@@ -37,7 +37,7 @@ def _read_image(item, is_ct: bool = False) -> Obs:
         dat, mat = item
         dat = np.squeeze(np.asarray(dat, np.float32))
         o.mat = np.asarray(mat, np.float64)
-    dat = np.asarray(dat, np.float32)
+    dat = np.array(dat, np.float32)  # copy: inputs may be read-only buffers
     dat[~np.isfinite(dat)] = 0.0
     if dat.ndim != 3:
         raise ValueError(

@@ -23,74 +23,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..models.proj_op import ProjOp
-from ..ops.conv import blur_down, blur_up
+from ..models.forward import make_obs_ops, obs_dyn_args  # noqa: F401 (re-export)
 from ..ops.finite_diff import im_divergence, im_gradient
-from ..ops.resample import pull, push, push_window
-from ..ops.scaling import apply_scaling
 from .cg import cg
 
 Array = jax.Array
-
-
-# ---------------------------------------------------------------------------
-# Per-observation operator bundles (dynamic M/scl, static geometry)
-# ---------------------------------------------------------------------------
-
-def make_obs_ops(po: ProjOp, method: str):
-    """Build A / At / AtA callables for one observation.
-
-    Each takes (dat, M, Minv, scl) with M the (3,4) source->y map; the push
-    window is frozen from the operator's nominal map (25% slack absorbs the
-    small rigid drift between retraces; see ops.resample.push_window).
-    """
-    if method == "denoising":
-        window = push_window(po.M_den())
-
-        def A(dat, M, Minv, scl):
-            return pull(dat, M, po.dim_x)
-
-        def At(dat, M, Minv, scl):
-            return push(dat, M, po.dim_y, Minv=Minv, window=window)
-
-        def AtA(dat, M, Minv, scl):
-            return push(pull(dat, M, po.dim_x), M, po.dim_y, Minv=Minv, window=window)
-
-        return A, At, AtA
-
-    # super-resolution
-    window = push_window(po.M_sr())
-    ker = jnp.asarray(po.smo_ker)
-    ratio = po.ratio
-    axis = po.dim_thick
-
-    def A(dat, M, Minv, scl):
-        out = pull(dat, M, po.dim_yx)
-        out = blur_down(out, ker, ratio)
-        return apply_scaling(out, scl, axis)
-
-    def At(dat, M, Minv, scl):
-        out = apply_scaling(dat, scl, axis)
-        out = blur_up(out, ker, ratio)
-        return push(out, M, po.dim_y, Minv=Minv, window=window)
-
-    def AtA(dat, M, Minv, scl):
-        out = pull(dat, M, po.dim_yx)
-        out = blur_down(out, ker, ratio)
-        out = apply_scaling(out, 2.0 * scl, axis)
-        out = blur_up(out, ker, ratio)
-        return push(out, M, po.dim_y, Minv=Minv, window=window)
-
-    return A, At, AtA
-
-
-def obs_dyn_args(po: ProjOp, method: str, rigid: np.ndarray | None = None):
-    """(M, Minv) device operands for the observation's current rigid pose."""
-    M = po.M_sr(rigid) if method == "super-resolution" else po.M_den(rigid)
-    M4 = np.eye(4)
-    M4[:3, :4] = M
-    Minv = np.linalg.inv(M4)[:3, :4].astype(np.float32)
-    return jnp.asarray(M), jnp.asarray(Minv)
 
 
 # ---------------------------------------------------------------------------

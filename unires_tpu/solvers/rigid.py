@@ -24,7 +24,7 @@ import numpy as np
 
 from ..geometry import dexpm, expm
 from ..models.proj_op import ProjOp, proj_info
-from ..ops.conv import blur_down, blur_up
+from ..ops.conv import blur_down_sep, blur_up_sep
 from ..ops.resample import pull, pull_grad
 from ..ops.scaling import apply_scaling
 
@@ -64,20 +64,20 @@ def make_rigid_fns(po: ProjOp, method: str):
     """
     sr = method == "super-resolution"
     dim = po.dim_yx if sr else po.dim_x
-    ker = jnp.asarray(po.smo_ker)
+    kers = po.smo_ker_1d
     ratio = po.ratio
     axis = po.dim_thick
     center = tuple((d - 1) / 2.0 for d in dim)
 
     if sr:
         ones = jnp.ones(dim, jnp.float32)
-        CtC_const = blur_up(blur_down(ones, ker, ratio), ker, ratio)
+        CtC_const = blur_up_sep(blur_down_sep(ones, kers, ratio), kers, ratio)
 
     @jax.jit
     def match_ll(dat_x, dat_y, M, scl, tau):
         dat_yx = pull(dat_y, M, dim)
         if sr:
-            dat_yx = blur_down(dat_yx, ker, ratio)
+            dat_yx = blur_down_sep(dat_yx, kers, ratio)
             dat_yx = apply_scaling(dat_yx, scl, axis)
         msk = dat_x != 0
         res = jnp.where(msk, dat_x - dat_yx, 0.0)
@@ -87,7 +87,7 @@ def make_rigid_fns(po: ProjOp, method: str):
     def match_stats(dat_x, dat_y, M, scl, tau):
         dat_yx_raw = pull(dat_y, M, dim)
         if sr:
-            dat_yx = blur_down(dat_yx_raw, ker, ratio)
+            dat_yx = blur_down_sep(dat_yx_raw, kers, ratio)
             dat_yx = apply_scaling(dat_yx, scl, axis)
         else:
             dat_yx = dat_yx_raw
@@ -101,7 +101,7 @@ def make_rigid_fns(po: ProjOp, method: str):
         mm = msk_x & (dat_yx != 0)
         diff = jnp.where(mm, diff, 0.0)
         if sr:
-            diff = blur_up(diff, ker, ratio)  # back to the yx grid
+            diff = blur_up_sep(diff, kers, ratio)  # back to the yx grid
             ctc = CtC_const
         else:
             ctc = jnp.float32(1.0)

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.proj_op import ProjOp
-from ..ops.conv import blur_down
+from ..ops.conv import blur_down_sep
 from ..ops.resample import pull
 from ..ops.scaling import apply_scaling
 from .admm import obs_dyn_args
@@ -39,7 +39,7 @@ def _even_odd_masked(dat, msk, axis):
 
 def make_scaling_fns(po: ProjOp, method: str):
     """(project, stats, ll) jitted closures for one observation."""
-    ker = jnp.asarray(po.smo_ker)
+    kers = po.smo_ker_1d
     ratio = po.ratio
     axis = po.dim_thick
 
@@ -47,7 +47,7 @@ def make_scaling_fns(po: ProjOp, method: str):
     def project(y_dat, M):
         """A without scaling: pull + blur (reference :312-316)."""
         out = pull(y_dat, M, po.dim_yx)
-        return blur_down(out, ker, ratio)
+        return blur_down_sep(out, kers, ratio)
 
     @jax.jit
     def stats(dat_y0, dat_x, s, tau):
