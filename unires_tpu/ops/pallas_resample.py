@@ -289,15 +289,14 @@ def _span(Mlin, tile, d):
     return s
 
 
-def _make_plan(in_dim, out_dim, span_fn, extra, max_iters):
+def _make_plan(in_dim, out_dim, span_fn, extent, extra, max_iters):
     """(tile, cover, pad_dim, win): cover = DMA/scratch box (aligned sizes),
     pad_dim = source padded to contain any aligned-offset cover box."""
     tile = (min(8, _round_up(out_dim[0], 8)),
             min(8, _round_up(out_dim[1], 8)),
             min(128, _round_up(out_dim[2], 128)))
-    # window = index span over the tile + 1 (fractional floor) + 1 (2nd
-    # corner); span_fn already includes the slack and any adjoint support
-    win = tuple(int(math.ceil(span_fn(tile, d))) + 2 for d in range(3))
+    # window = ceil(index-field span over the tile) + per-point extent
+    win = tuple(int(math.ceil(span_fn(tile, d))) + extent for d in range(3))
     if win[0] * win[1] * win[2] > max_iters:
         return None
     pad_z = _round_up(max(in_dim[2], tile[2] + win[2] + extra), 128)
@@ -318,9 +317,10 @@ def plan_pull(in_dim, out_dim, M_nominal, slack: float = 0.15,
     """Pull plan, or None -> XLA fallback. Windows derive from the NOMINAL
     affine + slack (the rigid pose drifts a little between retraces)."""
     L = np.asarray(M_nominal, np.float64)[:3, :3]
+    # extent 2: the fractional floor + the second trilinear corner
     return _make_plan(in_dim, out_dim,
                       lambda tile, d: _span(L, tile, d) * (1.0 + slack),
-                      extra=4, max_iters=max_iters)
+                      extent=2, extra=4, max_iters=max_iters)
 
 
 def plan_push(in_dim, out_dim, M_nominal, slack: float = 0.15,
@@ -334,12 +334,15 @@ def plan_push(in_dim, out_dim, M_nominal, slack: float = 0.15,
     # i.e. integers in [floor(c)-ceil(L1)+1, floor(c)+ceil(L1)]. With the
     # anchor lo = ceil(L1)+1 below the per-tile floor-field minimum, slab
     # offsets span ceil(field span) + 2 ceil(L1) + 2 (the +2 = anchor slack).
+    # Candidates for a target v are integers o with |o - c| < L1, i.e.
+    # offsets from floor(c) in [1 - ceil(L1), ceil(L1)] (2 ceil(L1) values).
+    # Anchor exactly at that lower edge; +1 window slack for rigid drift.
     cl1 = [int(math.ceil(L1[d])) for d in range(3)]
-    lo = tuple(c + 1 for c in cl1)
+    lo = tuple(max(c - 1, 0) for c in cl1)
     plan = _make_plan(
         in_dim, out_dim,
         lambda tile, d: _span(Li, tile, d) * (1.0 + slack) + 2.0 * cl1[d],
-        extra=6, max_iters=max_iters)
+        extent=1, extra=6, max_iters=max_iters)
     if plan is None:
         return None
     return plan + (lo,)

