@@ -8,6 +8,7 @@ work is ONE jitted device step (solvers.admm.make_admm_step).
 """
 from __future__ import annotations
 
+import os
 from timeit import default_timer as timer
 from typing import Optional
 
@@ -89,10 +90,28 @@ def fit(x: XData, y: YData, sett):
     jtv = None
     obj_trace = []
     R = np.stack([np.eye(4)] * N)
+    start_iter = 0
     if sett.max_iter > 0:
         rho = step_size(x, y, sett)
         info(sett, "step-size", rho)
         z, w = admm_aux(C, y[0].dim)
+        cnt_scl_iter = 0
+        countdown0 = 6
+        countdown1 = 6
+
+        if sett.resume and sett.checkpoint_path and \
+                os.path.exists(sett.checkpoint_path):
+            from .checkpoint import load_checkpoint, restore_into
+
+            z, w, st = restore_into(load_checkpoint(sett.checkpoint_path), x, y)
+            rho = st["rho"]
+            cnt_scl = st["cnt_scl"]
+            cnt_scl_iter = st["cnt_scl_iter"]
+            countdown0 = st["countdown0"]
+            countdown1 = st["countdown1"]
+            obj_trace = st["obj_trace"]
+            start_iter = st["n_iter"] + 1
+
         step = make_admm_step(x, y, sett)
         xdats = tuple(tuple(o.dat for o in xc) for xc in x)
         ys = jnp.stack([yc.dat for yc in y])
@@ -102,20 +121,22 @@ def fit(x: XData, y: YData, sett):
 
         t00 = info(sett, "fit-start", C, N)
         t_iter = timer()
-        cnt_scl_iter = 0
-        countdown0 = 6
-        countdown1 = 6
-        n_iter = 0
+        n_iter = start_iter
         geometry_dirty = True
+        lam_dirty = True
         Ms = Minvs = scls = taus = None
-        for n_iter in range(sett.max_iter):
+        lams = rho_j = None
+        for n_iter in range(start_iter, sett.max_iter):
             if geometry_dirty:
                 Ms, Minvs, scls, taus = _gather_dyn(x, sett)
                 geometry_dirty = False
-            lams = jnp.asarray([y[c].lam for c in range(C)], jnp.float32)
+            if lam_dirty:  # uploads cost ~30 ms each over a device tunnel
+                lams = jnp.asarray([y[c].lam for c in range(C)], jnp.float32)
+                rho_j = jnp.float32(rho)
+                lam_dirty = False
 
             ys, z, w, jtv, obj = step(ys, z, w, xdats, Ms, Minvs, scls, taus,
-                                      lams, jnp.float32(rho))
+                                      lams, rho_j)
             obj_trace.append(np.asarray(obj, np.float64))
 
             gain = get_gain([o[0] for o in obj_trace])
@@ -161,12 +182,25 @@ def fit(x: XData, y: YData, sett):
                     for c in range(C):
                         y[c].lam = float(sett.reg_scl[cnt_scl]) * y[c].lam0
                     rho = step_size(x, y, sett)
+                    lam_dirty = True
                     info(sett, "reg-change", oreg, y[0].lam)
                     countdown1 = 6
             else:
                 countdown1 = 6
 
             cnt_scl_iter += 1
+
+            # -- checkpoint (SURVEY §5 rebuild note; not in the reference) --
+            if (sett.checkpoint_every > 0 and sett.checkpoint_path
+                    and (n_iter + 1) % sett.checkpoint_every == 0):
+                from .checkpoint import save_checkpoint
+
+                for c in range(C):
+                    y[c].dat = ys[c]
+                save_checkpoint(sett.checkpoint_path, x, y, z, w, dict(
+                    rho=rho, cnt_scl=cnt_scl, cnt_scl_iter=cnt_scl_iter,
+                    n_iter=n_iter, countdown0=countdown0,
+                    countdown1=countdown1, obj_trace=np.asarray(obj_trace)))
 
         for c in range(C):
             y[c].dat = ys[c]

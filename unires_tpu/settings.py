@@ -65,6 +65,11 @@ class Settings:
     write_jtv: bool = False  # write JTV volume
     write_out: bool = True  # write reconstructions to disk
 
+    # checkpoint/resume (not in the reference, SURVEY §5 rebuild note)
+    checkpoint_every: int = 0  # save solver state every N iterations (0=off)
+    checkpoint_path: Optional[str] = None  # where to save/load the state
+    resume: bool = False  # resume from checkpoint_path if it exists
+
     # derived at runtime (not in the reference struct, kept explicit here)
     mat_coreg: Optional[Any] = None
     mat_atlas: Optional[Any] = None
