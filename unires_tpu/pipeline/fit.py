@@ -142,6 +142,17 @@ def fit(x: XData, y: YData, sett):
             gain = get_gain([o[0] for o in obj_trace])
             t_iter = info(sett, "fit-ll", n_iter, obj_trace[-1], gain, t_iter)
 
+            # optional dashboards (reference run.py:90-99)
+            if sett.plot_conv:
+                from ..utils.plots import plot_convergence
+
+                plot_convergence(np.asarray(obj_trace))
+            if sett.show_jtv and jtv is not None:
+                from ..utils.plots import show_slices
+
+                show_slices(np.asarray(jtv), title="JTV", fig_num=98,
+                            cmap="coolwarm")
+
             # -- converged? (reference run.py:103-110) --
             if (cnt_scl >= len(sett.reg_scl) - 1 and cnt_scl_iter > 20
                     and (abs(gain) < sett.tolerance or n_iter >= sett.max_iter - 1)):
