@@ -38,6 +38,9 @@ def main():
     # warm up the device transfer path (first transfer pays tunnel init)
     np.asarray(jnp.ones(8) + 1)
 
+    # degradation protocol mirrors demos/demo_multi_channel.ipynb cell 4:
+    # thick axis rotated per channel, rigid misalignment, sigma=75 noise,
+    # even/odd scaling 0.1 (BASELINE.md rows 1 and 4)
     chans = []
     thick_axes = [2, 1, 0]
     for c in range(3):
@@ -50,30 +53,37 @@ def main():
         rp = rng.uniform(-2, 2, 3).tolist() + rng.uniform(-0.02, 0.02, 3).tolist()
         rigid = affine_matrix_classic(rp)
         po = proj_info(dim_y, np.eye(4), tuple(dim_x), mat_x, rigid=rigid,
-                       prof_ip=2, prof_tp=0)
+                       prof_ip=2, prof_tp=0, scl=0.1)
         x = np.asarray(proj_apply("A", gtj, po, "super-resolution"))
-        x = x + 40.0 * rng.standard_normal(x.shape).astype(np.float32)
+        x = x + 75.0 * rng.standard_normal(x.shape).astype(np.float32)
         chans.append([x.astype(np.float32), mat_x])
 
-    # --- run the pipeline (coreg on, like the reference demo) ---
+    # --- run the pipeline (coreg + unified rigid + scaling, like the
+    # reference demo: BASELINE.md row 4 "rigid+scaling enabled") ---
     sett = Settings(vx=1.0, do_print=0, write_out=False, tolerance=1e-4,
-                    sched_num=3, reg_scl=4.0, do_coreg=True)
+                    sched_num=3, reg_scl=4.0, do_coreg=True,
+                    unified_rigid=True, scaling=True)
     t0 = time.time()
     x, y, sett = init(chans, sett)
     t_init = time.time() - t0
+
+    # trilinear baseline = the init reslice (identical to the reference's
+    # max_iter=0 output path; BASELINE.md row 2: MSE 35,222.99)
+    from unires_tpu.ops.resample import affine_to_M, pull
+
+    M = affine_to_M(np.linalg.solve(np.eye(4), y[0].mat))
+    gt_on_y = np.asarray(pull(gtj, M, y[0].dim))
+    msk = gt_on_y > 0
+    tri = np.asarray(y[0].dat)
+    mse_tri = float(np.mean((tri[msk] - gt_on_y[msk]) ** 2))
 
     t0 = time.time()
     y, R, jtv, obj, n_iter = fit_solver(x, y, sett)
     t_fit = time.time() - t0
     sec_per_iter = t_fit / max(n_iter, 1)
 
-    # quality: PSNR of channel 0 vs ground truth on the recon grid
-    from unires_tpu.ops.resample import affine_to_M, pull
-
-    M = affine_to_M(np.linalg.solve(np.eye(4), y[0].mat))
-    gt_on_y = np.asarray(pull(gtj, M, y[0].dim))
+    # quality: PSNR / MSE of channel 0 vs ground truth on the recon grid
     rec = np.asarray(y[0].dat)
-    msk = gt_on_y > 0
     mse = float(np.mean((rec[msk] - gt_on_y[msk]) ** 2))
     psnr = 10.0 * np.log10(float(gt_on_y.max()) ** 2 / max(mse, 1e-12))
 
@@ -87,6 +97,10 @@ def main():
         "init_s": round(t_init, 2),
         "n_iter": int(n_iter),
         "psnr_db": round(psnr, 2),
+        "mse_sr": round(mse, 1),
+        "mse_trilinear": round(mse_tri, 1),
+        # reference anchor: 28621.78 / 35222.99 = 0.8126 (BASELINE.md rows 1-2)
+        "sr_vs_trilinear": round(mse / max(mse_tri, 1e-12), 4),
         "nll_first": float(obj[0, 0]) if len(obj) else None,
         "nll_last": float(obj[-1, 0]) if len(obj) else None,
     }

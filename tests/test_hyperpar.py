@@ -40,3 +40,24 @@ def test_estimate_noise_ct_keeps_negatives():
     sd_bg, mu_bg, sd_fg, mu_fg = estimate_noise(v, is_ct=True)
     assert mu_bg < -800
     assert mu_fg > -100
+
+
+def test_rician_fit_recovers_noise_sigma():
+    """Rayleigh background + Rician foreground: the Rician mixture recovers
+    the underlying Gaussian noise sigma (the Gaussian fit is biased to
+    ~0.655 sigma on Rayleigh data — the reference demo's sd=49 on sigma=75)."""
+    from unires_tpu.pipeline.hyperpar import estimate_noise
+
+    rng = np.random.default_rng(0)
+    sigma = 50.0
+    bg = np.abs(sigma * (rng.standard_normal(40000)
+                         + 1j * rng.standard_normal(40000)))
+    fg = np.abs(1000.0 + sigma * (rng.standard_normal(20000)
+                                  + 1j * rng.standard_normal(20000)))
+    dat = np.concatenate([bg, fg]).astype(np.float32)
+    sd_r, mu_bg, sd_fg, mu_fg = estimate_noise(dat, model="rician")
+    assert abs(sd_r - sigma) < 0.12 * sigma, sd_r
+    assert mu_fg > 900.0
+    # gaussian fit on the same data shows the documented Rayleigh bias
+    sd_g, *_ = estimate_noise(dat, model="gaussian")
+    assert sd_g < 0.8 * sigma, sd_g

@@ -68,3 +68,36 @@ def test_push_matches_xla_and_adjoint(name, mat):
 def test_plan_fallback_for_extreme_rotation():
     mat = affine_matrix_classic([0, 0, 0, 0.6, 0.6, 0.6])  # ~34 degrees
     assert plan_pull((64, 64, 256), (64, 64, 256), mat[:3, :4]) is None
+
+
+@pytest.mark.parametrize("name,mat", AFFINES)
+def test_pull_grad_matches_xla(name, mat):
+    from unires_tpu.ops.pallas_resample import pallas_pull_grad
+    from unires_tpu.ops.resample import pull_grad as xla_pull_grad
+
+    rng = np.random.default_rng(2)
+    vol = jnp.asarray(rng.random(IN_DIM, dtype=np.float32))
+    M = affine_to_M(mat)
+    plan = plan_pull(IN_DIM, OUT_DIM, mat[:3, :4])
+    assert plan is not None
+    with pltpu.force_tpu_interpret_mode():
+        got = pallas_pull_grad(vol, M, OUT_DIM, plan)
+    want = xla_pull_grad(vol, M, OUT_DIM)
+    assert got.shape == want.shape
+    # mask knife-edge sample points (fractional part within 1 ulp of an
+    # integer): there the trilinear gradient flips between adjacent finite
+    # differences and a single-FMA rounding difference between the two
+    # paths legitimately changes the answer (measure-zero; same convention
+    # caveat as the pull/push boundary note in ops.pallas_resample)
+    Mn = np.asarray(M, np.float64)
+    ii, jj, kk = np.meshgrid(*[np.arange(n) for n in OUT_DIM], indexing="ij")
+    edge = np.zeros(OUT_DIM, bool)
+    for d in range(3):
+        g = Mn[d, 0] * ii + Mn[d, 1] * jj + Mn[d, 2] * kk + Mn[d, 3]
+        fr = g - np.floor(g)
+        edge |= (fr < 1e-5) | (fr > 1 - 1e-5)
+    diff = np.abs(np.asarray(got) - np.asarray(want)).max(axis=-1)
+    if np.all(diff < 1e-5):
+        return  # exact agreement (e.g. integer affines: no rounding at all)
+    assert np.all(diff[~edge] < 1e-5), diff[~edge].max()
+    assert edge.mean() < 0.01  # the mask must stay measure-zero-ish

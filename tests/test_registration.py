@@ -59,3 +59,25 @@ def test_atlas_align_fallback_centres(recwarn):
     new_mat = np.linalg.solve(mat_a, mat)
     centre = new_mat @ np.array([7.5, 7.5, 7.5, 1.0])
     assert np.allclose(centre[:3], 0.0, atol=1e-6)
+
+
+def test_atlas_align_cso_recovers_rigid_and_scale(tmp_path):
+    """rigid=False atlas alignment = CSO (SE(3) + isotropic scale), the
+    reference's atlas_rigid=False / nitorch mat_cso path (_core.py:345-353)."""
+    from unires_tpu.geometry import affine_basis, expm
+    from unires_tpu.pipeline.nifti import save
+
+    gt = blob_phantom(dim=(48, 48, 48), amplitude=1000.0, seed=7)
+    rng = np.random.default_rng(7)
+    atlas_path = str(tmp_path / "atlas.nii.gz")
+    save(gt.astype(np.float32), atlas_path, affine=np.eye(4))
+
+    q_true = np.array([2.0, -1.5, 1.0, 0.03, -0.02, 0.025, 0.08])
+    C_true = expm(q_true, affine_basis("CSO"))
+    mov = (1500.0 * np.sqrt(gt / 1000.0)).astype(np.float32)
+    mov = mov + 15.0 * rng.standard_normal(mov.shape).astype(np.float32)
+    mat_a = atlas_align((jnp.asarray(mov), C_true @ np.eye(4)), rigid=False,
+                        atlas_path=atlas_path)
+    aligned = np.linalg.solve(mat_a, C_true)
+    assert np.abs(aligned[:3, 3]).max() < 1.0, aligned
+    assert np.abs(aligned[:3, :3] - np.eye(3)).max() < 0.025, aligned

@@ -13,7 +13,7 @@ def _preproc(pth, atlas_rigid, common_output, denoising, device, dir_out, fov,
              label_file, label_channel_index, label_repeat_index, linear,
              plot_conv, prefix, print_info, reg_scl, res_origin, scale, sched,
              show_hyperpar, show_jtv, tolerance, unified_rigid, vx, write_out,
-             ct, crop):
+             ct, crop, noise_model="gaussian", chunk_iters=16):
     """Fit the model from the command line (reference _cli.py:7-56)."""
     if device and device not in ("tpu", "cuda"):
         import jax
@@ -42,6 +42,8 @@ def _preproc(pth, atlas_rigid, common_output, denoising, device, dir_out, fov,
     s.ct = ct
     s.crop = crop
     s.atlas_rigid = atlas_rigid
+    s.noise_model = noise_model
+    s.chunk_iters = chunk_iters
     if linear:
         s.max_iter = 0
     if denoising:
@@ -112,6 +114,13 @@ def run(argv=None):
                "Do unified rigid registration")
     parser.add_argument("--vx", type=float, default=s.vx,
                         help=f"Reconstruction voxel size [default={s.vx}].")
+    parser.add_argument("--noise_model", type=str, default=s.noise_model,
+                        choices=("gaussian", "rician"),
+                        help="Background-noise mixture for hyper-parameter "
+                             f"estimation [default={s.noise_model}].")
+    parser.add_argument("--chunk_iters", type=int, default=s.chunk_iters,
+                        help="Outer iterations per device call "
+                             f"[default={s.chunk_iters}].")
     _bool_pair(parser, "write_out", s.write_out,
                "Write reconstructed output images")
     args = parser.parse_args(argv)

@@ -25,9 +25,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.conv import blur_down_sep, blur_up_sep
-from ..ops.pallas_resample import (pallas_pull, pallas_push, plan_pull,
-                                   plan_push)
-from ..ops.resample import pull, push, push_window
+from ..ops.pallas_resample import (dyn_l1, dyn_span, pallas_pull,
+                                   pallas_pull_grad, pallas_push,
+                                   plan_capacity_pull, plan_capacity_push,
+                                   plan_pull, plan_push)
+from ..ops.resample import pull, pull_grad, push, push_window
 from ..ops.scaling import apply_scaling
 from .proj_op import ProjOp
 
@@ -43,7 +45,7 @@ def _use_pallas() -> bool:
     return jax.default_backend() == "tpu"
 
 
-def make_resample_ops(po: ProjOp, method: Method):
+def make_resample_ops(po: ProjOp, method: Method, rigid=None):
     """(pull_fn, push_fn) for one observation's geometry.
 
     Dispatch: Pallas shift-and-select kernels on TPU whenever the nominal
@@ -52,44 +54,166 @@ def make_resample_ops(po: ProjOp, method: Method):
     otherwise (CPU tests, tiny volumes, extreme affines).
 
     pull_fn(dat, M) and push_fn(dat, M, Minv) take the DYNAMIC (3,4) maps so
-    rigid-pose updates never retrace.
+    rigid-pose updates never retrace. ``rigid`` overrides the plan-time pose
+    (defaults to po.rigid) so the fit loop can re-plan from a drifted pose.
+    """
+    suite = make_resample_suite(po, method, rigid)
+    return suite["pull"], suite["push"]
+
+
+def make_resample_suite(po: ProjOp, method: Method, rigid=None) -> dict:
+    """Resampling ops + validity guard for one observation's geometry.
+
+    Returns a dict with:
+      pull(dat, M), push(dat, M, Minv), pull_grad(dat, M)  — dynamic-map ops
+      capacity_ok(M, Minv) -> bool scalar (device)          — True iff the
+          dynamic maps are within the static window plans (Pallas) or the
+          static push window (XLA fallback). The fit loop rejects rigid
+          candidates for which this is False and re-plans at chunk
+          boundaries, closing the round-1 silent-drift hole (ADVICE.md high).
+      margin(M, Minv) -> (3,) f32 device                    — min per-axis
+          span headroom remaining (used by the host re-plan policy).
     """
     src_dim = po.dim_yx if method == "super-resolution" else po.dim_x
     dim_y = po.dim_y
-    M_nom = po.M_sr() if method == "super-resolution" else po.M_den()
+    M_nom = po.M_sr(rigid) if method == "super-resolution" else po.M_den(rigid)
 
     pplan = fplan = None
     if _use_pallas():
         fplan = plan_pull(dim_y, src_dim, M_nom)
         pplan = plan_push(src_dim, dim_y, M_nom)
 
+    checks = []  # callables M, Minv -> (3,) headroom (span units)
+
     if fplan is not None:
         def pull_fn(dat, M):
             return pallas_pull(dat, M, src_dim, fplan)
+
+        f_tile, f_cap = plan_capacity_pull(fplan)
+        f_capj = jnp.asarray(f_cap, jnp.float32)
+
+        def _pull_headroom(M, Minv, tile=f_tile, cap=f_capj):
+            return cap - dyn_span(M, tile)
+
+        checks.append(_pull_headroom)
     else:
         def pull_fn(dat, M):
             return pull(dat, M, src_dim)
+        # XLA gather pull: valid for any affine
 
     if pplan is not None:
         def push_fn(dat, M, Minv):
             return pallas_push(dat, M, Minv, dim_y, pplan)
+
+        p_tile, p_cap, p_l1cap = plan_capacity_push(pplan)
+        p_capj = jnp.asarray(p_cap, jnp.float32)
+        p_l1j = jnp.asarray(p_l1cap, jnp.float32)
+
+        def _push_headroom(M, Minv, tile=p_tile, cap=p_capj, l1cap=p_l1j):
+            span_head = cap - dyn_span(Minv, tile)
+            l1_head = l1cap - 1e-4 - dyn_l1(Minv)
+            return jnp.minimum(span_head, l1_head)
+
+        checks.append(_push_headroom)
     else:
         window = push_window(M_nom)
 
         def push_fn(dat, M, Minv):
             return push(dat, M, dim_y, Minv=Minv, window=window)
 
-    return pull_fn, push_fn
+        winj = jnp.asarray(window, jnp.float32)
+
+        def _push_headroom(M, Minv, win=winj):
+            # window covers candidates within win of round(c): need L1<=win+0.5
+            return win + 0.5 - dyn_l1(Minv)
+
+        checks.append(_push_headroom)
+
+    if fplan is not None:
+        def pull_grad_fn(dat, M):
+            return pallas_pull_grad(dat, M, src_dim, fplan)
+    else:
+        def pull_grad_fn(dat, M):
+            return pull_grad(dat, M, src_dim)
+
+    def margin(M, Minv):
+        hs = [chk(M, Minv) for chk in checks]
+        return jnp.min(jnp.stack(hs), axis=0) if hs else \
+            jnp.full((3,), jnp.float32(_BIG_HEAD))
+
+    def capacity_ok(M, Minv):
+        return jnp.all(margin(M, Minv) >= 0.0)
+
+    return dict(pull=pull_fn, push=push_fn, pull_grad=pull_grad_fn,
+                capacity_ok=capacity_ok, margin=margin,
+                pallas=(fplan is not None, pplan is not None))
 
 
-def make_obs_ops(po: ProjOp, method: Method):
+_BIG_HEAD = 1e6  # "unlimited" headroom sentinel (span units)
+
+
+def make_obs_suite(po: ProjOp, method: Method, rigid=None) -> dict:
+    """Everything the solvers need for one observation, as a dict.
+
+    Extends :func:`make_resample_suite` with the full projection chains
+    (A/At/AtA, reference unires/_project.py:99-190) and ``project`` — the
+    scaling-free forward chain pull+blur used by the even/odd scaling GN
+    update (reference unires/_update.py:312-318).
+    """
+    rs = make_resample_suite(po, method, rigid)
+    pull_fn, push_fn = rs["pull"], rs["push"]
+    if method == "denoising":
+        def A(dat, M, Minv, scl):
+            return pull_fn(dat, M)
+
+        def At(dat, M, Minv, scl):
+            return push_fn(dat, M, Minv)
+
+        def AtA(dat, M, Minv, scl):
+            return push_fn(pull_fn(dat, M), M, Minv)
+
+        def project(dat, M):
+            return pull_fn(dat, M)
+
+        rs.update(A=A, At=At, AtA=AtA, project=project)
+        return rs
+
+    kers = po.smo_ker_1d
+    ratio = po.ratio
+    axis = po.dim_thick
+
+    def A(dat, M, Minv, scl):
+        out = pull_fn(dat, M)
+        out = blur_down_sep(out, kers, ratio)
+        return apply_scaling(out, scl, axis)
+
+    def At(dat, M, Minv, scl):
+        out = apply_scaling(dat, scl, axis)
+        out = blur_up_sep(out, kers, ratio)
+        return push_fn(out, M, Minv)
+
+    def AtA(dat, M, Minv, scl):
+        out = pull_fn(dat, M)
+        out = blur_down_sep(out, kers, ratio)
+        out = apply_scaling(out, 2.0 * scl, axis)
+        out = blur_up_sep(out, kers, ratio)
+        return push_fn(out, M, Minv)
+
+    def project(dat, M):
+        return blur_down_sep(pull_fn(dat, M), kers, ratio)
+
+    rs.update(A=A, At=At, AtA=AtA, project=project)
+    return rs
+
+
+def make_obs_ops(po: ProjOp, method: Method, rigid=None):
     """A / At / AtA callables for one observation (dynamic M/Minv/scl args).
 
     The full chains of the reference _proj_apply (unires/_project.py:99-190):
     resampling via :func:`make_resample_ops`, slice-profile blur/decimation on
     XLA convs, diagonal even/odd scaling fused by XLA.
     """
-    pull_fn, push_fn = make_resample_ops(po, method)
+    pull_fn, push_fn = make_resample_ops(po, method, rigid)
     if method == "denoising":
         def A(dat, M, Minv, scl):
             return pull_fn(dat, M)

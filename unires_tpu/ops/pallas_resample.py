@@ -53,6 +53,13 @@ Array = jax.Array
 
 _BIG = 1 << 20  # python int: jnp scalars would be captured as kernel consts
 
+# Mosaic's scoped-vmem accounting over the fully-unrolled window loops is
+# very conservative (live-range upper bound): inside large enclosing
+# programs it requests ~18 MB against a 16 MB default limit even though the
+# kernels' true VMEM footprint is ~2 MB (scratch + a few tiles). Raise the
+# per-kernel limit; VMEM is 128 MB/core on v5e.
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
 
 def _round_up(x, m):
     return int(-(-x // m) * m)
@@ -154,11 +161,12 @@ def _pull_kernel(tile, cover, win, in_dim, pad_dim, kernel_refs):
     # per-axis, per-offset weights with zero-bound corner validity
     # (source corner index at offset u is s + u0 + u + base)
     su = [s[d] + u0[d] for d in range(3)]
-    wxs = [_axis_weight(rel[0], u0[0], frac[0], u, su[0] + u + base[0], in_dim[0])
-           for u in range(WX)]
-    wys = [_axis_weight(rel[1], u0[1], frac[1], u, su[1] + u + base[1], in_dim[1])
-           for u in range(WY)]
     fovf = fov.astype(jnp.float32)
+    # z-axis weights are reused in every (u, v) iteration: precompute (WZ
+    # tile-sized buffers). The x/y weights are computed ON THE FLY per loop
+    # level — precomputing all of them kept WX+WY live tile arrays in VMEM
+    # and blew the 16 MB scoped-vmem budget once drift slack widened the
+    # windows (bench r2 first run).
     wzs = [_axis_weight(rel[2], u0[2], frac[2], u, su[2] + u + base[2], in_dim[2])
            * fovf for u in range(WZ)]
 
@@ -174,13 +182,115 @@ def _pull_kernel(tile, cover, win, in_dim, pad_dim, kernel_refs):
 
     acc = jnp.zeros((TX, TY, TZ), jnp.float32)
     for u in range(WX):
+        wx = _axis_weight(rel[0], u0[0], frac[0], u, su[0] + u + base[0],
+                          in_dim[0])
         for v in range(WY):
+            wy = _axis_weight(rel[1], u0[1], frac[1], v, su[1] + v + base[1],
+                              in_dim[1])
             slab = scr[u:u + TX, v:v + TY, :]
             tmp = jnp.zeros((TX, TY, TZ), jnp.float32)
             for w in range(WZ):
                 tmp = tmp + wzs[w] * slab[:, :, w:w + TZ]
-            acc = acc + (wxs[u] * wys[v]) * tmp
+            acc = acc + (wx * wy) * tmp
     out_ref[:] = acc
+
+
+def _axis_weight_grad(rel, u0, u, src_idx=None, dim=None):
+    """d(trilinear axis weight)/d(g) contribution of slab offset u.
+
+    The corner at du==u carries value weight (1-f) -> derivative -1; the
+    corner at du==u-1 carries f -> derivative +1. Same zero-bound corner
+    validity as :func:`_axis_weight`.
+    """
+    du = rel - u0
+    w = jnp.where(du == u, -1.0, 0.0)
+    if u >= 1:
+        w = jnp.where(du == u - 1, 1.0, w)
+    if src_idx is not None:
+        w = jnp.where((src_idx >= 0) & (src_idx < dim), w, 0.0)
+    return w
+
+
+def _pull_grad_kernel(tile, cover, win, in_dim, pad_dim, kernel_refs):
+    """Body of the pull_grad kernel: d(pulled)/d(g_d), three tile outputs.
+
+    Shares the pull kernel's scaffolding (DMA anchor, modular rolls, static
+    slab window); per (u, v) slab it forms both the weighted z-sum and the
+    z-derivative sum, so the cost is ~2x a pull. Semantics pin the XLA
+    reference ops.resample._pull_grad_gather (zero bound, no extrapolation,
+    reference nitorch grid_grad at unires/_update.py:507).
+    """
+    m_ref, vol_ref, gx_ref, gy_ref, gz_ref, scratch, sem = kernel_refs
+    TX, TY, TZ = tile
+    WX, WY, WZ = win
+
+    m = [[m_ref[4 * d + c] for c in range(4)] for d in range(3)]
+    origin = [pl.program_id(i) * tile[i] for i in range(3)]
+    of = [jnp.float32(o) for o in origin]
+
+    mins = _corner_min(m, of, tile)
+    s, cp = _anchor_dma(mins, (0, 0, 0), pad_dim, cover, vol_ref, scratch, sem)
+
+    base = [
+        jax.lax.broadcasted_iota(jnp.int32, (TX, TY, TZ), d) for d in range(3)
+    ]
+    ii = base[0].astype(jnp.float32) + of[0]
+    jj = base[1].astype(jnp.float32) + of[1]
+    kk = base[2].astype(jnp.float32) + of[2]
+    g = [m[d][0] * ii + m[d][1] * jj + m[d][2] * kk + m[d][3] for d in range(3)]
+    fov = ((g[0] >= -0.5) & (g[0] <= in_dim[0] - 0.5)
+           & (g[1] >= -0.5) & (g[1] <= in_dim[1] - 0.5)
+           & (g[2] >= -0.5) & (g[2] <= in_dim[2] - 0.5))
+
+    rel, frac, u0 = [], [], []
+    for d in range(3):
+        l = g[d] - s[d].astype(jnp.float32)
+        i0 = jnp.floor(l)
+        frac.append(l - i0)
+        r = i0.astype(jnp.int32) - base[d]
+        rel.append(r)
+        ud = jnp.clip(_masked_min(r, fov), -(cover[d] - 1), cover[d] - 1)
+        u0.append(ud)
+
+    su = [s[d] + u0[d] for d in range(3)]
+    fovf = fov.astype(jnp.float32)
+    # only the z lists are precomputed (see _pull_kernel VMEM note)
+    wzs = [_axis_weight(rel[2], u0[2], frac[2], u, su[2] + u + base[2], in_dim[2])
+           * fovf for u in range(WZ)]
+    dzs = [_axis_weight_grad(rel[2], u0[2], u, su[2] + u + base[2], in_dim[2])
+           * fovf for u in range(WZ)]
+
+    cp.wait()
+    scr = scratch[:]
+    for d in range(3):
+        scr = pltpu.roll(scr, jnp.remainder(-u0[d], scr.shape[d]), d)
+
+    accx = jnp.zeros((TX, TY, TZ), jnp.float32)
+    accy = jnp.zeros((TX, TY, TZ), jnp.float32)
+    accz = jnp.zeros((TX, TY, TZ), jnp.float32)
+    for u in range(WX):
+        wx = _axis_weight(rel[0], u0[0], frac[0], u, su[0] + u + base[0],
+                          in_dim[0])
+        dx = _axis_weight_grad(rel[0], u0[0], u, su[0] + u + base[0],
+                               in_dim[0])
+        for v in range(WY):
+            wy = _axis_weight(rel[1], u0[1], frac[1], v, su[1] + v + base[1],
+                              in_dim[1])
+            dy = _axis_weight_grad(rel[1], u0[1], v, su[1] + v + base[1],
+                                   in_dim[1])
+            slab = scr[u:u + TX, v:v + TY, :]
+            tmp = jnp.zeros((TX, TY, TZ), jnp.float32)
+            tmpd = jnp.zeros((TX, TY, TZ), jnp.float32)
+            for w in range(WZ):
+                sl = slab[:, :, w:w + TZ]
+                tmp = tmp + wzs[w] * sl
+                tmpd = tmpd + dzs[w] * sl
+            accx = accx + (dx * wy) * tmp
+            accy = accy + (wx * dy) * tmp
+            accz = accz + (wx * wy) * tmpd
+    gx_ref[:] = accx
+    gy_ref[:] = accy
+    gz_ref[:] = accz
 
 
 def _push_kernel(tile, cover, win, lo, in_dim, pad_dim, out_dim, kernel_refs):
@@ -245,16 +355,20 @@ def _push_kernel(tile, cover, win, lo, in_dim, pad_dim, out_dim, kernel_refs):
     # FOV of the candidate's sample point, folded per axis into the hat:
     # hat != 0 implies g in (v-1, v+1) subset [-1, out): only the half-open
     # boundary shells [-1,-0.5) and (out-0.5, out) need explicit masking.
-    # Candidate-in-source-range masks are per-axis/per-offset (precompute).
-    okx = [((s[0] + u0[0] + u + base[0] >= 0)
-            & (s[0] + u0[0] + u + base[0] < in_dim[0])).astype(jnp.float32)
-           for u in range(WX)]
-    oky = [((s[1] + u0[1] + v + base[1] >= 0)
-            & (s[1] + u0[1] + v + base[1] < in_dim[1])).astype(jnp.float32)
-           for v in range(WY)]
-    okz = [((s[2] + u0[2] + w + base[2] >= 0)
-            & (s[2] + u0[2] + w + base[2] < in_dim[2])).astype(jnp.float32)
-           for w in range(WZ)]
+    # Candidate-in-source-range masks vary along ONE axis each: build them
+    # from 1D iotas (full-tile versions kept WX+WY+WZ tile arrays live and
+    # blew the scoped-vmem budget once windows widened for drift slack).
+    shapes1 = ((TX, 1, 1), (1, TY, 1), (1, 1, TZ))
+    base1 = [jax.lax.broadcasted_iota(jnp.int32, shapes1[d], d)
+             for d in range(3)]
+
+    def _ok(d, off):
+        idx = s[d] + u0[d] + off + base1[d]
+        return ((idx >= 0) & (idx < in_dim[d])).astype(jnp.float32)
+
+    okx = [_ok(0, u) for u in range(WX)]
+    oky = [_ok(1, v) for v in range(WY)]
+    okz = [_ok(2, w) for w in range(WZ)]
 
     acc = jnp.zeros((TX, TY, TZ), jnp.float32)
     for u in range(WX):
@@ -306,42 +420,113 @@ def _make_plan(in_dim, out_dim, span_fn, extent, extra, max_iters):
     pad_dim = (max(in_dim[0], cover[0]),
                _round_up(max(in_dim[1], cover[1]), 8),
                pad_z)
-    # VMEM sanity: scratch + a few tile temporaries must fit
-    if int(np.prod(cover)) * 4 > 8 * 1024 * 1024:
+    # VMEM sanity: scratch + the live tile temporaries (z-weight lists,
+    # accumulators, index fields — see the kernels' VMEM notes) must fit the
+    # 16 MB scoped-vmem budget with headroom for compiler temporaries
+    tile_bytes = int(np.prod(tile)) * 4
+    vmem_est = int(np.prod(cover)) * 4 + (2 * win[2] + 12) * tile_bytes
+    if vmem_est > 10 * 1024 * 1024:
         return None
     return tile, cover, pad_dim, win
 
 
 def plan_pull(in_dim, out_dim, M_nominal, slack: float = 0.15,
-              max_iters: int = 1024):
-    """Pull plan, or None -> XLA fallback. Windows derive from the NOMINAL
-    affine + slack (the rigid pose drifts a little between retraces)."""
+              abs_slack: float = 0.75, max_iters: int = 1024):
+    """Pull plan, or None -> XLA fallback.
+
+    Windows derive from the NOMINAL affine plus a multiplicative AND an
+    additive slack. The additive term matters: for near-identity nominal maps
+    the span is ~0, so a multiplicative margin alone leaves no headroom and
+    sub-degree rigid drift silently overruns the window (round-1 ADVICE.md
+    high-severity finding). Drift beyond the planned capacity is prevented
+    by the solver: rigid candidates are checked against
+    :func:`plan_capacity_pull` on device and rejected, and the fit loop
+    re-plans from the drifted pose at chunk boundaries.
+    """
     L = np.asarray(M_nominal, np.float64)[:3, :3]
     # extent 2: the fractional floor + the second trilinear corner
     return _make_plan(in_dim, out_dim,
-                      lambda tile, d: _span(L, tile, d) * (1.0 + slack),
+                      lambda tile, d: _span(L, tile, d) * (1.0 + slack)
+                      + abs_slack,
                       extent=2, extra=4, max_iters=max_iters)
 
 
+def plan_capacity_pull(plan):
+    """(tile, max_span) supported by a pull plan: the kernel is exact for any
+    dynamic M whose per-axis index-field span over one tile (see
+    :func:`dyn_span`) is <= max_span[d]."""
+    tile, cover, pad_dim, win = plan
+    return tile, tuple(float(w - 2) for w in win)
+
+
+def plan_capacity_push(plan):
+    """(tile, max_span, max_L1) supported by a push plan.
+
+    The kernel is exact for dynamic (M, Minv) with, per axis d,
+      * inverse-map index-field span over one tile <= max_span[d], and
+      * inverse-map L1 row norm STRICTLY below max_L1[d] = lo[d] + 1
+        (candidates for a target v are the integers in (c - L1, c + L1);
+        with L1 < lo+1 the lowest lies at most lo below floor(c) and the
+        highest at most lo+1 above it — the anchor and window sizes in
+        :func:`plan_push` allocate exactly that).
+    """
+    tile, cover, pad_dim, win, lo = plan
+    return tile, \
+        tuple(float(win[d] - (2 * lo[d] + 2)) for d in range(3)), \
+        tuple(float(lo[d] + 1) for d in range(3))
+
+
+def dyn_span(M, tile):
+    """Device (3,) per-axis index-field span of (3,4) map ``M`` over a tile.
+
+    Mirrors the host :func:`_span` bound used at plan time; jit-traceable so
+    the fit loop can veto rigid candidates that would overrun a plan.
+    """
+    import jax.numpy as _jnp
+
+    out = []
+    for d in range(3):
+        sd = _jnp.abs(_jnp.abs(M[d, d]) - 1.0) * tile[d]
+        for e in range(3):
+            if e != d:
+                sd = sd + _jnp.abs(M[d, e]) * tile[e]
+        out.append(sd)
+    return _jnp.stack(out)
+
+
+def dyn_l1(Minv):
+    """Device (3,) L1 row norms of the linear part of a (3,4) map."""
+    import jax.numpy as _jnp
+
+    return _jnp.sum(_jnp.abs(Minv[:, :3]), axis=1)
+
+
 def plan_push(in_dim, out_dim, M_nominal, slack: float = 0.15,
+              abs_slack: float = 0.75, l1_slack: float = 0.2,
               max_iters: int = 1024):
-    """Push plan (windows from the inverse map + interpolation support)."""
+    """Push plan (windows from the inverse map + interpolation support).
+
+    Exact accounting: candidates for target v are the integers o with
+    |o_d - c_d| < L1_d (c = Minv v, L1 = inverse-map L1 row norm). For
+    L1 < lo+1 the lowest candidate is at most ``lo = ceil(L1_budget)-1``
+    below floor(c) and the highest at most lo+1 above, so per element
+    2 lo + 2 slab offsets suffice; the window adds the per-tile floor-field
+    span on top. ``l1_slack`` budgets L1 growth under rigid drift — the
+    nominal L1 is EXACTLY 1 on aligned axes, so without an additive budget
+    any rotation would immediately exceed the planned anchor depth
+    (round-1 ADVICE.md high-severity: silent window overrun under drift;
+    now also rejected at runtime via :func:`plan_capacity_push`).
+    """
     M4 = np.eye(4)
     M4[:3, :4] = np.asarray(M_nominal, np.float64)[:3, :4]
     Li = np.linalg.inv(M4)[:3, :3]
     L1 = np.abs(Li).sum(axis=1)
-    # Exact accounting: candidates for target v satisfy |o_d - c_d| < L1_d,
-    # i.e. integers in [floor(c)-ceil(L1)+1, floor(c)+ceil(L1)]. With the
-    # anchor lo = ceil(L1)+1 below the per-tile floor-field minimum, slab
-    # offsets span ceil(field span) + 2 ceil(L1) + 2 (the +2 = anchor slack).
-    # Candidates for a target v are integers o with |o - c| < L1, i.e.
-    # offsets from floor(c) in [1 - ceil(L1), ceil(L1)] (2 ceil(L1) values).
-    # Anchor exactly at that lower edge; +1 window slack for rigid drift.
-    cl1 = [int(math.ceil(L1[d])) for d in range(3)]
-    lo = tuple(max(c - 1, 0) for c in cl1)
+    K = [int(math.ceil(L1[d] + l1_slack)) for d in range(3)]
+    lo = tuple(k - 1 for k in K)
     plan = _make_plan(
         in_dim, out_dim,
-        lambda tile, d: _span(Li, tile, d) * (1.0 + slack) + 2.0 * cl1[d],
+        lambda tile, d: _span(Li, tile, d) * (1.0 + slack) + abs_slack
+        + 2.0 * lo[d] + 1.0,
         extent=1, extra=6, max_iters=max_iters)
     if plan is None:
         return None
@@ -381,7 +566,37 @@ def _pull_call(vol, M, plan, in_dim, out_dim):
                             pltpu.SemaphoreType.DMA(())],
         ),
         out_shape=jax.ShapeDtypeStruct(out_dim, jnp.float32),
+        compiler_params=_COMPILER_PARAMS,
     )(M.reshape(-1), volp)
+
+
+@functools.partial(jax.jit, static_argnames=("plan", "in_dim", "out_dim"))
+def _pull_grad_call(vol, M, plan, in_dim, out_dim):
+    tile, cover, pad_dim, win = plan
+    volp = _pad_to(vol, pad_dim)
+    grid = tuple(pl.cdiv(out_dim[d], tile[d]) for d in range(3))
+    kernel = functools.partial(_pull_grad_kernel, tile, cover, win, in_dim,
+                               pad_dim)
+
+    def body(m_ref, vol_ref, gx_ref, gy_ref, gz_ref, scratch, sem):
+        kernel((m_ref, vol_ref, gx_ref, gy_ref, gz_ref, scratch, sem))
+
+    out_spec = pl.BlockSpec(tile, lambda i, j, k, sc: (i, j, k),
+                            memory_space=pltpu.VMEM)
+    gx, gy, gz = pl.pallas_call(
+        body,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            out_specs=[out_spec, out_spec, out_spec],
+            scratch_shapes=[pltpu.VMEM(cover, jnp.float32),
+                            pltpu.SemaphoreType.DMA(())],
+        ),
+        out_shape=[jax.ShapeDtypeStruct(out_dim, jnp.float32)] * 3,
+        compiler_params=_COMPILER_PARAMS,
+    )(M.reshape(-1), volp)
+    return jnp.stack([gx, gy, gz], axis=-1)
 
 
 @functools.partial(jax.jit, static_argnames=("plan", "in_dim", "out_dim"))
@@ -408,6 +623,7 @@ def _push_call(vals, M, Minv, plan, in_dim, out_dim):
                             pltpu.SemaphoreType.DMA(())],
         ),
         out_shape=jax.ShapeDtypeStruct(out_dim, jnp.float32),
+        compiler_params=_COMPILER_PARAMS,
     )(scal, valsp)
 
 
@@ -419,3 +635,8 @@ def pallas_pull(vol: Array, M: Array, out_dim, plan) -> Array:
 def pallas_push(vals: Array, M: Array, Minv: Array, vol_dim, plan) -> Array:
     """Exact adjoint of pallas_pull."""
     return _push_call(vals, M, Minv, plan, tuple(vals.shape), tuple(vol_dim))
+
+
+def pallas_pull_grad(vol: Array, M: Array, out_dim, plan) -> Array:
+    """d(pull)/d(sample coords), shape out_dim + (3,); plan from plan_pull."""
+    return _pull_grad_call(vol, M, plan, tuple(vol.shape), tuple(out_dim))

@@ -55,11 +55,19 @@ def _sample_coords(M: Array, out_dim):
     return g
 
 
-def _fov_mask(g, in_dim):
-    """extrapolate=False mask: sample point within [-0.5, n-0.5] per axis."""
+def _fov_mask(g, in_dim, fov=None):
+    """extrapolate=False mask: sample point within [-0.5, n-0.5] per axis.
+
+    ``fov`` (3, 2) overrides the bounds (dynamic): used by the spatial
+    (halo) sharding, where the local slab's coordinate frame differs from
+    the GLOBAL field of view the mask must encode (parallel.spatial).
+    """
     m = None
     for d in range(3):
-        md = (g[d] >= -0.5) & (g[d] <= in_dim[d] - 0.5)
+        if fov is None:
+            md = (g[d] >= -0.5) & (g[d] <= in_dim[d] - 0.5)
+        else:
+            md = (g[d] >= fov[d, 0]) & (g[d] <= fov[d, 1])
         m = md if m is None else (m & md)
     return m
 
@@ -109,10 +117,11 @@ def _corner_data(g, in_dim, order):
 
 
 @partial(jax.jit, static_argnames=("out_dim", "order"))
-def _pull_gather(vol: Array, M: Array, out_dim, order: int = 1) -> Array:
+def _pull_gather(vol: Array, M: Array, out_dim, order: int = 1,
+                 fov=None) -> Array:
     in_dim = vol.shape
     g = _sample_coords(M, out_dim)
-    mask = _fov_mask(g, in_dim).astype(jnp.float32)
+    mask = _fov_mask(g, in_dim, fov).astype(jnp.float32)
     flat_vol = vol.reshape(-1)
     out = jnp.zeros(out_dim, dtype=vol.dtype)
     for flat, w in _corner_data(g, in_dim, order):
@@ -138,7 +147,7 @@ def push_window(M) -> tuple:
 
 @partial(jax.jit, static_argnames=("vol_dim", "order", "window"))
 def _push_gather(vals: Array, M: Array, Minv: Array, vol_dim, order: int = 1,
-                 window=(1, 1, 1)) -> Array:
+                 window=(1, 1, 1), fov=None) -> Array:
     """Exact adjoint of pull, formulated as a gather (TPU has no fast scatter).
 
     For each target voxel v of the (vol_dim) output, enumerate the static
@@ -172,7 +181,7 @@ def _push_gather(vals: Array, M: Array, Minv: Array, vol_dim, order: int = 1,
                 # g(o): same expression/order as pull -> bitwise-equal weights
                 g = [M[d, 0] * of[0] + M[d, 1] * of[1] + M[d, 2] * of[2] + M[d, 3]
                      for d in range(3)]
-                fov = _fov_mask(g, vol_dim)
+                fovm = _fov_mask(g, vol_dim, fov)
                 if order == 0:
                     w = jnp.float32(1.0)
                     for d in range(3):
@@ -188,7 +197,7 @@ def _push_gather(vals: Array, M: Array, Minv: Array, vol_dim, order: int = 1,
                         wd = jnp.where(v[d] == ai, 1.0 - f,
                                        jnp.where(v[d] == ai + 1, f, 0.0))
                         w = w * wd
-                w = w * (ok & fov).astype(jnp.float32)
+                w = w * (ok & fovm).astype(jnp.float32)
                 oc = [jnp.clip(o[d], 0, in_dim[d] - 1) for d in range(3)]
                 flat = (oc[0] * in_dim[1] + oc[1]) * in_dim[2] + oc[2]
                 out = out + w * jnp.take(flat_vals, flat, mode="clip")
@@ -327,17 +336,18 @@ def _apply_separable(vol: Array, Ws, perm, transpose: bool = False) -> Array:
 # Public API
 # ---------------------------------------------------------------------------
 
-def pull(vol: Array, M: Array, out_dim, order: int = 1) -> Array:
+def pull(vol: Array, M: Array, out_dim, order: int = 1, fov=None) -> Array:
     """Sample ``vol`` at g = M @ (i,j,k,1) for every output voxel.
 
     Zero bound, no extrapolation. ``M`` is (3, 4) float32 (device) mapping
-    output voxel coords to input voxel coords.
+    output voxel coords to input voxel coords. ``fov`` (3,2) optionally
+    overrides the no-extrapolation bounds (spatial sharding).
     """
-    return _pull_gather(vol, M, tuple(int(d) for d in out_dim), order)
+    return _pull_gather(vol, M, tuple(int(d) for d in out_dim), order, fov)
 
 
 def push(vals: Array, M: Array, vol_dim, order: int = 1, Minv: Array | None = None,
-         window=None) -> Array:
+         window=None, fov=None) -> Array:
     """Exact adjoint of :func:`pull` (scatter-free bounded-window gather).
 
     ``M`` is the SAME (3,4) map given to pull (source voxel -> target voxel).
@@ -352,7 +362,8 @@ def push(vals: Array, M: Array, vol_dim, order: int = 1, Minv: Array | None = No
             window = push_window(M4[:3, :4])
         if Minv is None:
             Minv = jnp.asarray(np.linalg.inv(M4)[:3, :4], dtype=jnp.float32)
-    return _push_gather(vals, M, Minv, tuple(int(d) for d in vol_dim), order, tuple(window))
+    return _push_gather(vals, M, Minv, tuple(int(d) for d in vol_dim), order,
+                        tuple(window), fov)
 
 
 def pull_grad(vol: Array, M: Array, out_dim) -> Array:

@@ -54,47 +54,87 @@ def build_mesh(n_devices: int | None = None, batch: int | None = None):
     return Mesh(devs.reshape(batch, chan), ("batch", "channel"))
 
 
-def make_sharded_admm_step(po: ProjOp, method: str, sett, mesh: Mesh) -> Callable:
-    """Jitted sharded step for stacked state.
+def make_sharded_admm_step(po: ProjOp | list, method: str, sett,
+                           mesh: Mesh) -> Callable:
+    """Jitted sharded step for stacked state — the PRODUCTION solver
+    (FFT-preconditioned, residual-stopped CG — identical math to
+    solvers.admm.make_admm_body), sharded over ('batch', 'channel').
+
+    ``po``: one ProjOp, or a list over repeats (homogeneous across
+    channels/subjects — the batch-processing regime).
 
     Signature:
         step(ys, z, w, xdat, M, Minv, scl, tau, lam, rho) -> (ys, z, w, obj)
-    with ys (B, C, *dim_y), z/w (B, C, 3, *dim_y), xdat (B, C, *dim_x),
-    M/Minv (3, 4) shared, scl/tau/lam (B, C), rho scalar. ys/z/w/xdat sharded
+    with ys (B, C, *dim_y), z/w (B, C, 3, *dim_y); per-repeat leading axes on
+    the observation operands: xdat (R, B, C, *dim_x), M/Minv (R, 3, 4)
+    shared, scl/tau (R, B, C), lam (B, C), rho scalar. ys/z/w/xdat sharded
     P('batch', 'channel'); the JTV shrinkage psums over 'channel'.
     """
-    A, At, AtA = make_obs_ops(po, method)
-    vx_y = tuple(np.sqrt((np.asarray(po.mat_y, np.float64)[:3, :3] ** 2)
+    pos = po if isinstance(po, (list, tuple)) else [po]
+    R_n = len(pos)
+    ops = [make_obs_ops(p, method) for p in pos]
+    vx_y = tuple(np.sqrt((np.asarray(pos[0].mat_y, np.float64)[:3, :3] ** 2)
                          .sum(0)).astype(np.float32))
+    dim_y = tuple(int(d) for d in pos[0].dim_y)
     diff = sett.diff
     cg_iter = int(sett.cgs_max_iter)
     cg_tol = float(sett.cgs_tol)
     tiny = 1e-7
 
+    from ..solvers.admm import fourier_membrane_eigs
+
+    lamD_r = fourier_membrane_eigs(dim_y, vx_y)
+    ones_y = jnp.ones(dim_y, jnp.float32)
+
     def local(ys, z, w, xdat, M, Minv, scl, tau, lam, rho):
         # per-(subject, channel) y-update, vmapped over the local block
         def y_update(yc, zc, wc, xc, sc, tc, lc):
-            rhs = tc * At(xc, M, Minv, sc)
+            rhs = jnp.zeros_like(yc)
+            cdiag = jnp.float32(0.0)
+            for n in range(R_n):
+                A, At, AtA = ops[n]
+                rhs = rhs + tc[n] * At(xc[n], M[n], Minv[n], sc[n])
+                cdiag = cdiag + tc[n] * jnp.mean(
+                    AtA(ones_y, M[n], Minv[n], sc[n]))
             rhs = rhs - lc * im_divergence(wc - rho * zc, vx_y, diff)
 
             def lhs(v):
                 out = rho * lc * lc * im_divergence(
                     im_gradient(v, vx_y, diff), vx_y, diff)
-                return out + tc * AtA(v, M, Minv, sc)
+                for n in range(R_n):
+                    A, At, AtA = ops[n]
+                    out = out + tc[n] * AtA(v, M[n], Minv[n], sc[n])
+                return out
 
-            return cg(lhs, rhs, yc, max_iter=cg_iter, tol=cg_tol)
+            denom = cdiag + rho * lc * lc * lamD_r
 
-        upd = jax.vmap(jax.vmap(y_update))
+            def precond(v):
+                return jnp.fft.irfftn(jnp.fft.rfftn(v) / denom,
+                                      s=dim_y).astype(jnp.float32)
+
+            return cg(lhs, rhs, yc, max_iter=cg_iter, tol=10.0 * cg_tol,
+                      precond=precond, stop="residual")
+
+        # observation operands carry a leading repeat axis: map over their
+        # axis 1 (B) then axis 1-after-B (C), keeping R as y_update's axis 0
+        upd = jax.vmap(jax.vmap(y_update, in_axes=(0, 0, 0, 1, 1, 1, 0)),
+                       in_axes=(0, 0, 0, 1, 1, 1, 0))
         ys = upd(ys, z, w, xdat, scl, tau, lam)
 
         # objective (local part; psum'd below)
         def nll_one(yc, xc, sc, tc, lc):
-            Ay = A(yc, M, Minv, sc)
-            msk = xc != 0
-            res = jnp.where(msk, xc - Ay, 0.0)
-            return 0.5 * tc * jnp.sum(res * res)
+            acc = jnp.float32(0.0)
+            for n in range(R_n):
+                A, At, AtA = ops[n]
+                Ay = A(yc, M[n], Minv[n], sc[n])
+                msk = xc[n] != 0
+                res = jnp.where(msk, xc[n] - Ay, 0.0)
+                acc = acc + 0.5 * tc[n] * jnp.sum(res * res)
+            return acc
 
-        nll_xy = jnp.sum(jax.vmap(jax.vmap(nll_one))(ys, xdat, scl, tau, lam))
+        nll_xy = jnp.sum(jax.vmap(jax.vmap(
+            nll_one, in_axes=(0, 1, 1, 1, 0)),
+            in_axes=(0, 1, 1, 1, 0))(ys, xdat, scl, tau, lam))
 
         # gradients and the cross-channel JTV reduce (ONE psum over 'channel')
         Dys = jax.vmap(jax.vmap(
@@ -118,17 +158,34 @@ def make_sharded_admm_step(po: ProjOp, method: str, sett, mesh: Mesh) -> Callabl
         return ys, z, w, obj
 
     vol = P("batch", "channel")
-    par = P("batch", "channel")
+    obs = P(None, "batch", "channel")  # leading repeat axis replicated
     step = jax.shard_map(
         local, mesh=mesh,
-        in_specs=(vol, vol, vol, vol, P(), P(), par, par, par, P()),
+        in_specs=(vol, vol, vol, obs, P(), P(), obs, obs, vol, P()),
         out_specs=(vol, vol, vol, P()),
         check_vma=False,
     )
-    return jax.jit(step, donate_argnums=(0, 1, 2))
+
+    def wrapped(ys, z, w, xdat, M, Minv, scl, tau, lam, rho):
+        # accept single-repeat operands without the leading repeat axis
+        if xdat.ndim == ys.ndim:
+            xdat = xdat[None]
+        if M.ndim == 2:
+            M, Minv = M[None], Minv[None]
+        if scl.ndim == 2:
+            scl, tau = scl[None], tau[None]
+        return step(ys, z, w, xdat, M, Minv, scl, tau, lam, rho)
+
+    return jax.jit(wrapped, donate_argnums=(0, 1, 2))
 
 
 def shard_state(mesh: Mesh, ys, z, w, xdat):
-    """Place stacked state on the mesh with ('batch','channel') sharding."""
+    """Place stacked state on the mesh with ('batch','channel') sharding.
+
+    ``xdat`` may carry a leading (replicated) repeat axis: (R, B, C, *dim_x).
+    """
     sh = NamedSharding(mesh, P("batch", "channel"))
-    return tuple(jax.device_put(a, sh) for a in (ys, z, w, xdat))
+    sh_obs = NamedSharding(mesh, P(None, "batch", "channel"))
+    xsh = sh_obs if xdat.ndim == ys.ndim + 1 else sh
+    return (jax.device_put(ys, sh), jax.device_put(z, sh),
+            jax.device_put(w, sh), jax.device_put(xdat, xsh))

@@ -1,0 +1,277 @@
+"""Spatial (halo) sharding of the ADMM solver — slab decomposition.
+
+The long-context analog for this model family (SURVEY §5): the scaling axis
+is VOLUME SIZE, and the TPU-native answer is sharding y/z/w/x along one
+spatial axis over the mesh, with
+
+  * 1-voxel halo exchange (``lax.ppermute``) for the D/D^T stencils — the
+    exact zero-bound finite differences of ops.finite_diff, reconstructed
+    across slab boundaries;
+  * an H-voxel halo for the resampling footprint: each device extends its
+    slab with its neighbours' edge rows, then runs the LOCAL pull/push with
+    a per-device-offset affine and the GLOBAL field-of-view bounds (the
+    ``fov`` override of ops.resample) — both pull and the gather-formulated
+    push only ever READ the halo, so no cross-device scatter exists;
+  * CG inner products psum'd over the mesh axis.
+
+Collectives per outer iteration: 2 ppermutes per D/D^T application + 2 per
+resampling + 2 psums per CG step — all nearest-neighbour or scalar, riding
+ICI. The JTV shrinkage is fully local here (channels are not sharded).
+
+Scope: the denoising-path operator (A = pull; the reference's method when no
+voxel-size change is needed, unires/_project.py:180-188) with all grids
+sharing the slab decomposition; the super-resolution chain additionally
+needs halo convolutions (kernel half-width), noted in docs/ROADMAP.md.
+"""
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.proj_op import ProjOp
+from ..ops.resample import pull, push, push_window
+
+AXIS = "space"
+
+
+def build_spatial_mesh(n_devices: int | None = None) -> Mesh:
+    devs = np.asarray(jax.devices())
+    n = n_devices or devs.size
+    return Mesh(devs[:n], (AXIS,))
+
+
+def _shift_halo(u, shift: int, n: int, x_axis: int):
+    """u shifted by one along the sharded x axis with ZERO global bound.
+
+    shift=+1 -> u[i-1] (first local row comes from the previous device);
+    shift=-1 -> u[i+1]. Devices with no source receive zeros from ppermute,
+    which IS the Dirichlet zero bound of ops.finite_diff._roll_zero.
+    """
+    sl_first = [slice(None)] * u.ndim
+    sl_first[x_axis] = slice(0, 1)
+    sl_last = [slice(None)] * u.ndim
+    sl_last[x_axis] = slice(u.shape[x_axis] - 1, u.shape[x_axis])
+    sl_head = [slice(None)] * u.ndim
+    sl_head[x_axis] = slice(1, None)
+    sl_tail = [slice(None)] * u.ndim
+    sl_tail[x_axis] = slice(0, u.shape[x_axis] - 1)
+    if shift == -1:  # u[i+1]
+        head = jax.lax.ppermute(u[tuple(sl_first)], AXIS,
+                                [(i, i - 1) for i in range(1, n)])
+        return jnp.concatenate([u[tuple(sl_head)], head], axis=x_axis)
+    if shift == 1:  # u[i-1]
+        tail = jax.lax.ppermute(u[tuple(sl_last)], AXIS,
+                                [(i, i + 1) for i in range(n - 1)])
+        return jnp.concatenate([tail, u[tuple(sl_tail)]], axis=x_axis)
+    raise ValueError(shift)
+
+
+def halo_gradient(dat, vx, which: str, n: int):
+    """im_gradient of a local (Xl, Y, Z) slab with the x-axis difference
+    stitched across slab boundaries (exact zero bound at the global edges)."""
+    from ..ops.finite_diff import _roll_zero
+
+    vx = jnp.asarray(vx, dat.dtype)
+    gs = []
+    for d in range(3):
+        def shifted(s, d=d):
+            if d == 0:
+                return _shift_halo(dat, s, n, 0)
+            return _roll_zero(dat, s, d)
+
+        if which == "forward":
+            g = shifted(-1) - dat
+        elif which == "backward":
+            g = dat - shifted(1)
+        elif which == "central":
+            g = 0.5 * (shifted(-1) - shifted(1))
+        else:
+            raise ValueError(which)
+        gs.append(g / vx[d])
+    return jnp.stack(gs, axis=0)
+
+
+def halo_divergence(p, vx, which: str, n: int):
+    """Exact adjoint of :func:`halo_gradient` (p is (3, Xl, Y, Z))."""
+    from ..ops.finite_diff import _roll_zero
+
+    vx = jnp.asarray(vx, p.dtype)
+    out = jnp.zeros(p.shape[1:], p.dtype)
+    for d in range(3):
+        q = p[d]
+
+        def shifted(s, q=q, d=d):
+            if d == 0:
+                return _shift_halo(q, s, n, 0)
+            return _roll_zero(q, s, d)
+
+        if which == "forward":
+            a = shifted(1) - q
+        elif which == "backward":
+            a = q - shifted(-1)
+        elif which == "central":
+            a = 0.5 * (shifted(1) - shifted(-1))
+        else:
+            raise ValueError(which)
+        out = out + a / vx[d]
+    return out
+
+
+def _extend_x(u, h: int, n: int):
+    """(Xl, Y, Z) -> (Xl+2h, Y, Z): h rows of each neighbour; zeros at ends."""
+    head = jax.lax.ppermute(u[:h], AXIS, [(i, i - 1) for i in range(1, n)])
+    tail = jax.lax.ppermute(u[-h:], AXIS, [(i, i + 1) for i in range(n - 1)])
+    return jnp.concatenate([tail, u, head], axis=0)
+
+
+def spatial_halo_bound(po: ProjOp, method: str = "denoising") -> int:
+    """Required halo (voxels) for the operator's resampling footprint:
+    max |g_x - x| over the volume + interpolation support + 1."""
+    M = po.M_den() if method == "denoising" else po.M_sr()
+    dim = po.dim_x if method == "denoising" else po.dim_yx
+    off = abs(float(M[0, 3]))
+    off += abs(float(M[0, 0]) - 1.0) * dim[0]
+    off += abs(float(M[0, 1])) * dim[1] + abs(float(M[0, 2])) * dim[2]
+    return int(np.ceil(off)) + 2
+
+
+def make_spatial_admm_step(po: ProjOp, sett, mesh: Mesh,
+                           halo: int | None = None) -> Callable:
+    """Jitted slab-sharded ADMM iteration (denoising path).
+
+    Signature: step(ys, z, w, xdat, M, Minv, tau, lam, rho) ->
+    (ys, z, w, obj), with ys/xdat (C, X, Y, Z), z/w (C, 3, X, Y, Z), all
+    sharded on the X axis. Math identical to solvers.admm.make_admm_body's
+    denoising branch with an unpreconditioned CG (the FFT preconditioner is
+    global-spectral; a slab-local variant is future work).
+    """
+    n = mesh.shape[AXIS]
+    dim_y = tuple(int(d) for d in po.dim_y)
+    assert dim_y[0] % n == 0, "X must divide the mesh for the slab prototype"
+    Xl = dim_y[0] // n
+    H = halo if halo is not None else spatial_halo_bound(po, "denoising")
+    assert H <= Xl, f"halo {H} exceeds slab {Xl}: use fewer devices"
+    vx_y = tuple(np.sqrt((np.asarray(po.mat_y, np.float64)[:3, :3] ** 2)
+                         .sum(0)).astype(np.float32))
+    window = push_window(po.M_den())
+    diff = sett.diff
+    cg_iter = int(sett.cgs_max_iter)
+    cg_tol = float(sett.cgs_tol)
+    tiny = 1e-7
+    C = None  # trace-time from shapes
+
+    def local(ys, z, w, xdat, M, Minv, tau, lam, rho):
+        idx = jax.lax.axis_index(AXIS)
+        x0 = (idx * Xl).astype(jnp.float32)
+        ext_dim = (Xl + 2 * H,) + dim_y[1:]
+        # local maps: output row i_local = i_global - x0; extended-source
+        # row o_ext = o_global - (x0 - H). fov = GLOBAL bounds, local coords.
+        Ml = M.at[:, 3].add(M[:, 0] * x0)
+        Ml = Ml.at[0, 3].add(-(x0 - H))
+        fov_pull = jnp.asarray(
+            [[0.0, 0.0], [-0.5, dim_y[1] - 0.5], [-0.5, dim_y[2] - 0.5]],
+            jnp.float32)
+        fov_pull = fov_pull.at[0, 0].set(-0.5 - (x0 - H))
+        fov_pull = fov_pull.at[0, 1].set(dim_y[0] - 0.5 - (x0 - H))
+        # push: vals live on the extended grid; targets are my slab rows
+        Mp = M.at[:, 3].add(M[:, 0] * (x0 - H))
+        Mp = Mp.at[0, 3].add(-x0)
+        Mpi = Minv.at[:, 3].add(Minv[:, 0] * x0)
+        Mpi = Mpi.at[0, 3].add(-(x0 - H))
+        fov_push = jnp.asarray(
+            [[0.0, 0.0], [-0.5, dim_y[1] - 0.5], [-0.5, dim_y[2] - 0.5]],
+            jnp.float32)
+        fov_push = fov_push.at[0, 0].set(-0.5 - x0)
+        fov_push = fov_push.at[0, 1].set(dim_y[0] - 0.5 - x0)
+
+        def A_loc(yc):
+            return pull(_extend_x(yc, H, n), Ml, (Xl,) + dim_y[1:],
+                        fov=fov_pull)
+
+        def At_loc(xc):
+            return push(_extend_x(xc, H, n), Mp, (Xl,) + dim_y[1:],
+                        Minv=Mpi, window=window, fov=fov_push)
+
+        def AtA_loc(yc):
+            return At_loc(A_loc(yc))
+
+        def pdot(a, b):
+            return jax.lax.psum(jnp.sum(a * b), AXIS)
+
+        def y_update(yc, zc, wc, xc, tc, lc):
+            rhs = tc * At_loc(xc)
+            rhs = rhs - lc * halo_divergence(wc - rho * zc, vx_y, diff, n)
+
+            def lhs(v):
+                out = rho * lc * lc * halo_divergence(
+                    halo_gradient(v, vx_y, diff, n), vx_y, diff, n)
+                return out + tc * AtA_loc(v)
+
+            # CG with psum'd inner products (unpreconditioned)
+            r0 = rhs - lhs(yc)
+            p0 = r0
+            rz0 = pdot(r0, r0)
+
+            def body(carry):
+                xv, r, p, rz, it, done = carry
+                Ap = lhs(p)
+                alpha = rz / jnp.maximum(pdot(p, Ap), 1e-30)
+                xv = xv + alpha * p
+                r = r - alpha * Ap
+                rz_new = pdot(r, r)
+                beta = rz_new / jnp.maximum(rz, 1e-30)
+                p = r + beta * p
+                done = rz_new < (cg_tol * cg_tol) * jnp.maximum(rz0, 1e-30)
+                return xv, r, p, rz_new, it + 1, done
+
+            def cond(carry):
+                *_, it, done = carry
+                return (it < cg_iter) & jnp.logical_not(done)
+
+            out = jax.lax.while_loop(
+                cond, body, (yc, r0, p0, rz0, jnp.int32(0), jnp.bool_(False)))
+            return out[0]
+
+        ys = jax.vmap(y_update)(ys, z, w, xdat, tau, lam)
+
+        def nll_one(yc, xc, tc):
+            Ay = A_loc(yc)
+            msk = xc != 0
+            res = jnp.where(msk, xc - Ay, 0.0)
+            return 0.5 * tc * jnp.sum(res * res)
+
+        nll_xy = jax.lax.psum(jnp.sum(jax.vmap(nll_one)(ys, xdat, tau)), AXIS)
+
+        Dys = jax.vmap(lambda yc, lc: lc * halo_gradient(
+            yc, vx_y, diff, n))(ys, lam)
+        nll_y = jax.lax.psum(
+            jnp.sum(jnp.sqrt(jnp.sum(Dys * Dys, axis=(0, 1)))), AXIS)
+
+        u = w / rho + Dys
+        mag = jnp.sqrt(jnp.sum(u * u, axis=(0, 1)))  # channels local: exact
+        shrink = jnp.maximum(mag - 1.0 / rho, 0.0) / (mag + tiny)
+        z = shrink[None, None] * u
+        w = w + rho * (Dys - z)
+        obj = jnp.stack([nll_xy + nll_y, nll_xy, nll_y])
+        return ys, z, w, obj
+
+    vol = P(None, AXIS)     # (C, X, ...) sharded on X
+    zw = P(None, None, AXIS)
+    step = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(vol, zw, zw, vol, P(), P(), P(None,), P(None,), P()),
+        out_specs=(vol, zw, zw, P()),
+        check_vma=False,
+    )
+    return jax.jit(step, donate_argnums=(0, 1, 2))
+
+
+def shard_spatial(mesh: Mesh, ys, z, w, xdat):
+    shv = NamedSharding(mesh, P(None, AXIS))
+    shzw = NamedSharding(mesh, P(None, None, AXIS))
+    return (jax.device_put(ys, shv), jax.device_put(z, shzw),
+            jax.device_put(w, shzw), jax.device_put(xdat, shv))

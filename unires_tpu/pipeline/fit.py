@@ -1,10 +1,14 @@
-"""Fit orchestrator: the outer ADMM loop with coarse-to-fine scheduling.
+"""Fit orchestrator: chunked device-side outer loop.
 
-Mirrors the reference ``fit`` (unires/run.py:24-207): lambda schedule with
+Mirrors the reference ``fit`` (unires/run.py:24-207) — lambda schedule with
 countdowns and minimum-iteration guards, gain-based convergence, optional
 even/odd scaling and unified-rigid updates, FOV cleaning and rigid-matrix
-collection. Control flow is host-side (tiny scalars); each iteration's dense
-work is ONE jitted device step (solvers.admm.make_admm_step).
+collection — but the per-iteration control flow lives ON DEVICE
+(solvers.fitloop): each host round-trip executes K outer iterations, so the
+tunnel/dispatch overhead that dominated round 1 (>0.9 s/iter against a
+0.09 s device step) is amortised K-fold. The host's remaining jobs per chunk:
+logging, checkpointing, dashboards, and re-planning the Pallas window plans
+when rigid poses drift near their planned capacity.
 """
 from __future__ import annotations
 
@@ -18,10 +22,14 @@ import numpy as np
 
 from ..geometry import expm, voxel_size
 from ..solvers.admm import admm_aux, make_admm_step, obs_dyn_args, step_size
-from ..solvers.rigid import update_rigid
-from ..solvers.scaling_gn import update_scaling
+from ..solvers.fitloop import (FitState, init_state, make_fit_chunk,
+                               replan_margins)
 from ..utils.log import info
 from .structs import XData, YData
+
+# re-plan when any observation's window headroom (span units) drops below
+# this; device-side candidate rejection guarantees headroom never goes < 0
+_REPLAN_MARGIN = 0.35
 
 
 def get_gain(obj_trace) -> float:
@@ -53,23 +61,53 @@ def get_sched(N: int, sett):
     return sett
 
 
-def _gather_dyn(x, sett):
-    """Dynamic per-observation operands for the jitted step."""
-    Ms, Minvs, scls, taus = [], [], [], []
-    for c in range(len(x)):
-        Ms_c, Mi_c, s_c, t_c = [], [], [], []
-        for o in x[c]:
-            rigid = o.po.rigid
-            M, Minv = obs_dyn_args(o.po, sett.method, rigid)
-            Ms_c.append(M)
-            Mi_c.append(Minv)
-            s_c.append(jnp.float32(o.po.scl))
-            t_c.append(jnp.float32(o.tau))
-        Ms.append(tuple(Ms_c))
-        Minvs.append(tuple(Mi_c))
-        scls.append(tuple(s_c))
-        taus.append(tuple(t_c))
-    return tuple(Ms), tuple(Minvs), tuple(scls), tuple(taus)
+def _gather_dyn_taus(x):
+    return tuple(tuple(jnp.float32(o.tau) for o in xc) for xc in x)
+
+
+def _gather_subdats(x, sett):
+    """Flat per-observation NN-subsampled volumes for the rigid update
+    (reference unires/_update.py:589-593); None where the rigid grids
+    coincide with the main grids (rigid_samp=1 on >=1mm data)."""
+    from ..models.proj_op import proj_info
+    from ..ops.resample import pull
+
+    if not sett.unified_rigid:
+        return tuple(None for xc in x for _ in xc)
+    out = []
+    for xc in x:
+        for o in xc:
+            po = o.po
+            po_sub = proj_info(po.dim_y, po.mat_y, o.dim, o.mat,
+                               rigid=po.rigid, prof_ip=sett.profile_ip,
+                               prof_tp=sett.profile_tp, gap=sett.gap,
+                               scl=po.scl, samp=sett.rigid_samp)
+            if po_sub.dim_x == po.dim_x and po_sub.dim_yx == po.dim_yx:
+                out.append(None)
+            else:
+                Ms = jnp.asarray(po_sub.D_x[:3, :4].astype(np.float32))
+                out.append(pull(o.dat, Ms, po_sub.dim_x, order=0))
+    return tuple(out)
+
+
+def _sync_state(x, y, sett, state: FitState):
+    """Write device state back into the pipeline structs."""
+    qs = np.asarray(state.q, np.float64)
+    scls = np.asarray(state.scl, np.float64)
+    basis = sett.rigid_basis
+    i = 0
+    for xc in x:
+        for o in xc:
+            o.rigid_q = qs[i]
+            if basis is not None:
+                o.po.rigid = expm(qs[i], basis)
+            o.po.scl = float(scls[i])
+            i += 1
+    cnt_scl = int(state.cnt_scl)
+    reg = np.atleast_1d(np.asarray(sett.reg_scl, np.float64))
+    for c in range(len(y)):
+        y[c].dat = state.ys[c]
+        y[c].lam = float(reg[min(cnt_scl, reg.size - 1)]) * y[c].lam0
 
 
 def fit(x: XData, y: YData, sett):
@@ -82,153 +120,125 @@ def fit(x: XData, y: YData, sett):
     C = len(x)
     sett = get_sched(N, sett)
 
-    # schedule position 0
-    cnt_scl = 0
+    # schedule position 0 (host bookkeeping; the device derives lam itself)
     for c in range(C):
-        y[c].lam = float(sett.reg_scl[cnt_scl]) * y[c].lam0
+        y[c].lam = float(np.atleast_1d(sett.reg_scl)[0]) * y[c].lam0
 
     jtv = None
     obj_trace = []
     R = np.stack([np.eye(4)] * N)
-    start_iter = 0
+    n_done = 0
     if sett.max_iter > 0:
-        rho = step_size(x, y, sett)
-        info(sett, "step-size", rho)
-        z, w = admm_aux(C, y[0].dim)
-        cnt_scl_iter = 0
-        countdown0 = 6
-        countdown1 = 6
+        rho0 = step_size(x, y, sett)
+        info(sett, "step-size", rho0)
 
+        state = init_state(x, y, sett)
         if sett.resume and sett.checkpoint_path and \
                 os.path.exists(sett.checkpoint_path):
             from .checkpoint import load_checkpoint, restore_into
 
             z, w, st = restore_into(load_checkpoint(sett.checkpoint_path), x, y)
-            rho = st["rho"]
-            cnt_scl = st["cnt_scl"]
-            cnt_scl_iter = st["cnt_scl_iter"]
-            countdown0 = st["countdown0"]
-            countdown1 = st["countdown1"]
-            obj_trace = st["obj_trace"]
-            start_iter = st["n_iter"] + 1
+            obj_trace = list(st["obj_trace"])
+            state = init_state(x, y, sett, z=z, w=w)
+            tr = np.asarray(obj_trace, np.float64).reshape(-1, 3)
+            big = float(np.finfo(np.float32).max)
+            state = state._replace(
+                cnt_scl=jnp.int32(st["cnt_scl"]),
+                cnt_scl_iter=jnp.int32(st["cnt_scl_iter"]),
+                countdown0=jnp.int32(st["countdown0"]),
+                countdown1=jnp.int32(st["countdown1"]),
+                n_iter=jnp.int32(st["n_iter"] + 1),
+                prev_obj=jnp.float32(tr[-1, 0] if tr.size else 0.0),
+                obj_max=jnp.float32(tr[:, 0].max() if tr.size else -big),
+                obj_min=jnp.float32(tr[:, 0].min() if tr.size else big),
+                has_prev=jnp.bool_(tr.size > 0),
+            )
 
-        step = make_admm_step(x, y, sett)
+        K = max(1, min(int(getattr(sett, "chunk_iters", 16)), sett.max_iter))
+        chunk = make_fit_chunk(x, y, sett, K)
         xdats = tuple(tuple(o.dat for o in xc) for xc in x)
-        ys = jnp.stack([yc.dat for yc in y])
-
-        scaling_cache: dict = {}
-        rigid_cache: dict = {}
+        taus = _gather_dyn_taus(x)
+        subdats = _gather_subdats(x, sett)
 
         t00 = info(sett, "fit-start", C, N)
-        t_iter = timer()
-        n_iter = start_iter
-        geometry_dirty = True
-        lam_dirty = True
-        Ms = Minvs = scls = taus = None
-        lams = rho_j = None
-        for n_iter in range(start_iter, sett.max_iter):
-            if geometry_dirty:
-                Ms, Minvs, scls, taus = _gather_dyn(x, sett)
-                geometry_dirty = False
-            if lam_dirty:  # uploads cost ~30 ms each over a device tunnel
-                lams = jnp.asarray([y[c].lam for c in range(C)], jnp.float32)
-                rho_j = jnp.float32(rho)
-                lam_dirty = False
+        last_ckpt = int(state.n_iter)
+        while True:
+            t_chunk = timer()
+            state, objs, gains, valid = chunk(state, xdats, taus, subdats)
+            objs = np.asarray(objs, np.float64)
+            gains = np.asarray(gains, np.float64)
+            k_live = int(np.asarray(valid).sum())
+            per_iter = (timer() - t_chunk) / max(k_live, 1)
+            base = int(state.n_iter) - k_live
+            for k in range(k_live):
+                obj_trace.append(objs[k])
+                info(sett, "fit-ll", base + k, objs[k], float(gains[k]),
+                     timer() - per_iter)
 
-            ys, z, w, jtv, obj = step(ys, z, w, xdats, Ms, Minvs, scls, taus,
-                                      lams, rho_j)
-            obj_trace.append(np.asarray(obj, np.float64))
-
-            gain = get_gain([o[0] for o in obj_trace])
-            t_iter = info(sett, "fit-ll", n_iter, obj_trace[-1], gain, t_iter)
-
-            # optional dashboards (reference run.py:90-99)
-            if sett.plot_conv:
+            # optional dashboards (reference run.py:90-99), chunk cadence
+            if sett.plot_conv and obj_trace:
                 from ..utils.plots import plot_convergence
 
                 plot_convergence(np.asarray(obj_trace))
-            if sett.show_jtv and jtv is not None:
+            if sett.show_jtv:
                 from ..utils.plots import show_slices
 
-                show_slices(np.asarray(jtv), title="JTV", fig_num=98,
+                show_slices(np.asarray(state.jtv), title="JTV", fig_num=98,
                             cmap="coolwarm")
 
-            # -- converged? (reference run.py:103-110) --
-            if (cnt_scl >= len(sett.reg_scl) - 1 and cnt_scl_iter > 20
-                    and (abs(gain) < sett.tolerance or n_iter >= sett.max_iter - 1)):
-                countdown0 -= 1
-                if countdown0 == 0:
-                    info(sett, "fit-finish", t00, n_iter)
-                    break
-            else:
-                countdown0 = 6
-
-            # -- even/odd scaling update (reference run.py:115-122) --
-            if sett.scaling:
-                for c in range(C):
-                    y[c].dat = ys[c]
-                x, _ = update_scaling(x, y, sett, max_niter_gn=1,
-                                      num_linesearch=6, fns_cache=scaling_cache)
-                info(sett, "scl-param", x)
-                geometry_dirty = True
-
-            # -- rigid update (reference run.py:127-135) --
-            if sett.unified_rigid and n_iter > 0 and (n_iter % sett.rigid_mod) == 0:
-                for c in range(C):
-                    y[c].dat = ys[c]
-                x, _ = update_rigid(x, y, sett, mean_correct=False,
-                                    max_niter_gn=1, num_linesearch=6,
-                                    samp=sett.rigid_samp, fns_cache=rigid_cache)
-                info(sett, "reg-param", x)
-                geometry_dirty = True
-
-            # -- coarse-to-fine lambda schedule (reference run.py:140-155) --
-            if (cnt_scl + 1 < len(sett.reg_scl) and cnt_scl_iter > 16
-                    and abs(gain) < 1e-3):
-                countdown1 -= 1
-                if countdown1 == 0:
-                    cnt_scl_iter = 0
-                    cnt_scl += 1
-                    oreg = y[0].lam
-                    for c in range(C):
-                        y[c].lam = float(sett.reg_scl[cnt_scl]) * y[c].lam0
-                    rho = step_size(x, y, sett)
-                    lam_dirty = True
-                    info(sett, "reg-change", oreg, y[0].lam)
-                    countdown1 = 6
-            else:
-                countdown1 = 6
-
-            cnt_scl_iter += 1
+            n_done = int(state.n_iter)
+            done = bool(state.done)
 
             # -- checkpoint (SURVEY §5 rebuild note; not in the reference) --
             if (sett.checkpoint_every > 0 and sett.checkpoint_path
-                    and (n_iter + 1) % sett.checkpoint_every == 0):
+                    and n_done - last_ckpt >= sett.checkpoint_every):
                 from .checkpoint import save_checkpoint
 
-                for c in range(C):
-                    y[c].dat = ys[c]
-                save_checkpoint(sett.checkpoint_path, x, y, z, w, dict(
-                    rho=rho, cnt_scl=cnt_scl, cnt_scl_iter=cnt_scl_iter,
-                    n_iter=n_iter, countdown0=countdown0,
-                    countdown1=countdown1, obj_trace=np.asarray(obj_trace)))
+                _sync_state(x, y, sett, state)
+                rho_now = step_size(x, y, sett)
+                save_checkpoint(sett.checkpoint_path, x, y, state.z, state.w,
+                                dict(rho=rho_now,
+                                     cnt_scl=int(state.cnt_scl),
+                                     cnt_scl_iter=int(state.cnt_scl_iter),
+                                     n_iter=n_done - 1,
+                                     countdown0=int(state.countdown0),
+                                     countdown1=int(state.countdown1),
+                                     obj_trace=np.asarray(obj_trace)))
+                last_ckpt = n_done
 
-        for c in range(C):
-            y[c].dat = ys[c]
+            if done or n_done >= sett.max_iter:
+                if done:
+                    info(sett, "fit-finish", t00, n_done - 1)
+                break
 
-    # -- clean FOV (reference run.py:162-187) --
+            # -- re-plan the Pallas windows if rigid poses drifted close to
+            # the planned capacity (device-side candidate veto guarantees
+            # they can never exceed it; this keeps them from saturating) --
+            if sett.unified_rigid:
+                margin = replan_margins(x, sett, state.q)
+                if margin < _REPLAN_MARGIN:
+                    _sync_state(x, y, sett, state)
+                    chunk = make_fit_chunk(x, y, sett, K)
+
+        _sync_state(x, y, sett, state)
+        jtv = state.jtv
+
+    # -- clean FOV (reference run.py:162-187; coordinate-range convention
+    # g in [0, dim) per axis, matching run.py:171-174 — round-1 ADVICE) --
     if sett.clean_fov:
-        from ..ops.resample import pull
-
         for c in range(C):
-            msk = jnp.ones(y[c].dim, bool)
+            dim_y = tuple(int(d) for d in y[c].dim)
+            ii = jnp.arange(dim_y[0], dtype=jnp.float32)[:, None, None]
+            jj = jnp.arange(dim_y[1], dtype=jnp.float32)[None, :, None]
+            kk = jnp.arange(dim_y[2], dtype=jnp.float32)[None, None, :]
+            msk = jnp.ones(dim_y, bool)
             for o in x[c]:
                 Minv = np.linalg.inv(
                     np.linalg.solve(y[c].mat, o.po.rigid @ o.mat))
-                M = jnp.asarray(Minv[:3, :4].astype(np.float32))
-                ones = jnp.ones(o.dim, jnp.float32)
-                inside = pull(ones, M, y[c].dim, order=0) > 0
-                msk = msk & inside
+                Mj = jnp.asarray(Minv[:3, :4].astype(np.float32))
+                for d in range(3):
+                    g = Mj[d, 0] * ii + Mj[d, 1] * jj + Mj[d, 2] * kk + Mj[d, 3]
+                    msk = msk & (g >= 0) & (g < o.dim[d])
             y[c].dat = jnp.where(msk, y[c].dat, 0.0)
 
     # -- rigid matrices (reference run.py:195-200) --

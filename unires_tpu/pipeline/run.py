@@ -166,7 +166,11 @@ def fix_affine(x: XData, sett):
             if o.ct:
                 from .registration import reset_origin
 
-                o.dat, o.mat = reset_origin(o.dat, o.mat)
+                omat = o.mat
+                o.dat, o.mat = reset_origin(o.dat, omat)
+                if o.label is not None:  # reference resets labels too (:158-160)
+                    lab, _ = reset_origin(o.label[0], omat, interpolation=0)
+                    o.label[0] = lab
                 o.dim = tuple(o.dat.shape)
                 cnt += 1
     info(sett, "fix-affine", cnt)

@@ -43,6 +43,7 @@ class Settings:
     label: Optional[tuple] = None  # (path, (channel, repeat)) of manual labels
     mat: Optional[Any] = None  # affine for 4D array input
     max_iter: int = 512  # max outer (ADMM) iterations
+    noise_model: str = "gaussian"  # background-noise fit: gaussian|rician
     method: Optional[str] = None  # derived: 'super-resolution'|'denoising'
     plot_conv: bool = False  # matplotlib live convergence plot
     pow: int = 0  # round output dims up to powers of 2/3 capped at pow
@@ -64,6 +65,10 @@ class Settings:
     vx: Optional[float] = 1.0  # recon voxel size (0/None -> denoise)
     write_jtv: bool = False  # write JTV volume
     write_out: bool = True  # write reconstructions to disk
+
+    # device-loop chunking (not in the reference; the TPU fit loop runs
+    # chunk_iters outer iterations per device call — solvers.fitloop)
+    chunk_iters: int = 16
 
     # checkpoint/resume (not in the reference, SURVEY §5 rebuild note)
     checkpoint_every: int = 0  # save solver state every N iterations (0=off)

@@ -13,6 +13,13 @@ TPU-first re-design of the reference hot loop (unires/_update.py:105-195 and
   * Dynamic inputs: volumes, the per-observation (3,4) maps M / M^{-1}
     (they change when rigid poses update), scaling scalars, tau, lam, rho.
     Geometry (dims, kernels, ratios, push windows) is static in the trace.
+  * The objective is accumulated with compensated f32 reductions
+    (ops.reductions.stable_sum) matching the reference's f64 accumulation
+    quality (unires/run.py:74) without paying TPU-emulated f64.
+
+``make_admm_body`` exposes the un-jitted iteration body so the chunked fit
+loop (solvers.fitloop) can run K iterations per device call; ``make_admm_step``
+wraps it as the standalone jitted single-iteration step.
 """
 from __future__ import annotations
 
@@ -25,6 +32,7 @@ import numpy as np
 
 from ..models.forward import make_obs_ops, obs_dyn_args  # noqa: F401 (re-export)
 from ..ops.finite_diff import im_divergence, im_gradient
+from ..ops.reductions import stable_sum
 from .cg import cg
 
 Array = jax.Array
@@ -51,40 +59,21 @@ def step_size(x, y, sett) -> float:
 
 
 # ---------------------------------------------------------------------------
-# The jitted outer iteration
+# The (un-jitted) outer-iteration body, reusable inside a scanned chunk
 # ---------------------------------------------------------------------------
 
-def make_admm_step(x, y, sett) -> Callable:
-    """Build the jitted ADMM iteration for this problem's static geometry.
+def fourier_membrane_eigs(dim_y, vx_y) -> jnp.ndarray:
+    """rfftn eigenvalues of the membrane/TV-quadratic D^T D term.
 
-    Returned signature:
-        step(ys, z, w, xdats, Ms, Minvs, scls, taus, lams, rho)
-          -> (ys, z, w, jtv, obj)
-    with ys (C,*dim_y); z/w (C,3,*dim_y); nested tuples for per-observation
-    args; obj (3,) f32 = (-ln p(y|x), -ln p(x|y), -ln p(y)).
+    The CG normal matrix is  sum_n tau_n A^T A + rho lam^2 D^T D. The
+    membrane term is (up to boundary rows) circulant, hence diagonal in
+    Fourier space with eigenvalues sum_d 4 sin^2(pi k_d / n_d) / vx_d^2;
+    the data term is approximated by its mean diagonal (the reference's
+    exact-diagonal variant exists but is disabled,
+    unires/_update.py:80-102,136-137 — the spectral version is the
+    BASELINE.json north-star and cuts CG iterations ~3-4x).
     """
-    C = len(x)
-    method = sett.method
-    do_proj = sett.do_proj
-    diff = sett.diff
-    vx_y = tuple(np.sqrt((np.asarray(y[0].mat, np.float64)[:3, :3] ** 2).sum(0)).astype(np.float32))
-    alpha = float(sett.alpha)
-    cg_iter = int(sett.cgs_max_iter)
-    cg_tol = float(sett.cgs_tol)
-    compute_obj = sett.tolerance > 0
-    tiny = 1e-7
-
-    ops = [[make_obs_ops(o.po, method) for o in x[c]] for c in range(C)]
-
-    # ---- Fourier (circulant) preconditioner for the CG y-solve ----
-    # The CG normal matrix is  sum_n tau_n A^T A + rho lam^2 D^T D. The
-    # membrane term is (up to boundary rows) circulant, hence diagonal in
-    # Fourier space with eigenvalues sum_d 4 sin^2(pi k_d / n_d) / vx_d^2;
-    # the data term is approximated by its mean diagonal c = sum_n tau_n *
-    # mean(A^T A 1) (the reference's exact-diagonal variant exists but is
-    # disabled, unires/_update.py:80-102,136-137 — the spectral version is
-    # the BASELINE.json north-star and cuts CG iterations ~3-4x).
-    dim_y = tuple(int(d) for d in y[0].dim)
+    dim_y = tuple(int(d) for d in dim_y)
     lamD = np.zeros(dim_y, np.float32)
     for d in range(3):
         k = np.arange(dim_y[d])
@@ -92,21 +81,63 @@ def make_admm_step(x, y, sett) -> Callable:
         shape = [1, 1, 1]
         shape[d] = dim_y[d]
         lamD = lamD + e.reshape(shape).astype(np.float32)
-    lamD_r = jnp.asarray(lamD[..., : dim_y[2] // 2 + 1])
-    # per-observation mean diagonal of A^T A (unit tau), from the nominal map
-    c_unit = []
-    for c in range(C):
-        row = []
-        for n in range(len(x[c])):
-            A, At, AtA = ops[c][n]
-            M0, Mi0 = obs_dyn_args(x[c][n].po, method)
-            if do_proj:
-                ata1 = AtA(jnp.ones(dim_y, jnp.float32), M0, Mi0,
-                           jnp.float32(x[c][n].po.scl))
-                row.append(float(jnp.mean(ata1)))
-            else:
-                row.append(1.0)
-        c_unit.append(row)
+    return jnp.asarray(lamD[..., : dim_y[2] // 2 + 1])
+
+
+def make_cdiag_fn(x, sett) -> Callable:
+    """Device fn: per-channel data-term diagonal for the CG preconditioner.
+
+    cdiags(Ms, Minvs, scls, taus) -> (C,) f32 with
+    cdiag_c = sum_n tau_cn * mean(AtA_cn(1)); recomputable on device so the
+    preconditioner tracks rigid-pose drift (round-1 VERDICT weak item 8:
+    the frozen trace-time diagonal goes stale under large rigid moves).
+    """
+    C = len(x)
+    method = sett.method
+    do_proj = sett.do_proj
+    dim_y = tuple(int(d) for d in x[0][0].po.dim_y)
+    ops = [[make_obs_ops(o.po, method) for o in x[c]] for c in range(C)]
+    ones = jnp.ones(dim_y, jnp.float32)
+
+    def cdiags(Ms, Minvs, scls, taus):
+        out = []
+        for c in range(C):
+            acc = jnp.float32(0.0)
+            for n in range(len(x[c])):
+                if do_proj:
+                    _, _, AtA = ops[c][n]
+                    ata1 = AtA(ones, Ms[c][n], Minvs[c][n], scls[c][n])
+                    acc = acc + taus[c][n] * jnp.mean(ata1)
+                else:
+                    acc = acc + taus[c][n]
+            out.append(acc)
+        return jnp.stack(out)
+
+    return cdiags
+
+
+def make_admm_body(x, y, sett):
+    """Un-jitted single ADMM iteration body for this problem's geometry.
+
+    Returns ``body(ys, z, w, xdats, Ms, Minvs, scls, taus, lams, rho, cdiags)
+    -> (ys, z, w, jtv, obj)`` with obj (3,) f32 =
+    (-ln p(y|x), -ln p(x|y), -ln p(y)) — reference _compute_nll
+    (unires/_update.py:396-427) and _update_admm (:105-195).
+    """
+    C = len(x)
+    method = sett.method
+    do_proj = sett.do_proj
+    diff = sett.diff
+    vx_y = tuple(np.sqrt((np.asarray(y[0].mat, np.float64)[:3, :3] ** 2)
+                         .sum(0)).astype(np.float32))
+    alpha = float(sett.alpha)
+    cg_iter = int(sett.cgs_max_iter)
+    cg_tol = float(sett.cgs_tol)
+    tiny = 1e-7
+    dim_y = tuple(int(d) for d in y[0].dim)
+
+    ops = [[make_obs_ops(o.po, method) for o in x[c]] for c in range(C)]
+    lamD_r = fourier_membrane_eigs(dim_y, vx_y)
 
     def make_precond(cdiag, rho, lam):
         denom = cdiag + rho * lam * lam * lamD_r
@@ -120,7 +151,7 @@ def make_admm_step(x, y, sett) -> Callable:
     def grad_c(yc, lam):
         return lam * im_gradient(yc, vx_y, diff)
 
-    def step(ys, z, w, xdats, Ms, Minvs, scls, taus, lams, rho):
+    def body(ys, z, w, xdats, Ms, Minvs, scls, taus, lams, rho, cdiags):
         # ---- y-update (per channel; CG on the normal equations) ----
         new_ys = []
         for c in range(C):
@@ -129,26 +160,26 @@ def make_admm_step(x, y, sett) -> Callable:
             for n in range(len(x[c])):
                 A, At, AtA = ops[c][n]
                 if do_proj:
-                    rhs = rhs + taus[c][n] * At(xdats[c][n], Ms[c][n], Minvs[c][n], scls[c][n])
+                    rhs = rhs + taus[c][n] * At(xdats[c][n], Ms[c][n],
+                                                Minvs[c][n], scls[c][n])
                 else:
                     rhs = rhs + taus[c][n] * xdats[c][n]
             div = im_divergence(w[c] - rho * z[c], vx_y, diff)
             rhs = rhs - lam * div
 
             def lhs(v, c=c, lam=lam):
-                out = rho * lam * lam * im_divergence(im_gradient(v, vx_y, diff), vx_y, diff)
+                out = rho * lam * lam * im_divergence(
+                    im_gradient(v, vx_y, diff), vx_y, diff)
                 for n in range(len(x[c])):
                     A, At, AtA = ops[c][n]
                     if do_proj:
-                        out = out + taus[c][n] * AtA(v, Ms[c][n], Minvs[c][n], scls[c][n])
+                        out = out + taus[c][n] * AtA(v, Ms[c][n], Minvs[c][n],
+                                                     scls[c][n])
                     else:
                         out = out + taus[c][n] * v
                 return out
 
-            cdiag = jnp.float32(0.0)
-            for n in range(len(x[c])):
-                cdiag = cdiag + taus[c][n] * c_unit[c][n]
-            precond = make_precond(cdiag, rho, lam)
+            precond = make_precond(cdiags[c], rho, lam)
             # residual stop: the preconditioner converges CG in ~3-5 cold
             # iterations, and warm-started solves exit immediately (the
             # reference's max_gain criterion always runs max_iter)
@@ -159,25 +190,23 @@ def make_admm_step(x, y, sett) -> Callable:
             new_ys.append(yc)
         ys = jnp.stack(new_ys)
 
-        # ---- objective (reference _compute_nll, :396-427) ----
-        if compute_obj:
-            nll_xy = jnp.float32(0.0)
-            for c in range(C):
-                for n in range(len(x[c])):
-                    A, At, AtA = ops[c][n]
-                    if do_proj:
-                        Ay = A(ys[c], Ms[c][n], Minvs[c][n], scls[c][n])
-                    else:
-                        Ay = ys[c]
-                    msk = xdats[c][n] != 0
-                    res = jnp.where(msk, xdats[c][n] - Ay, 0.0)
-                    nll_xy = nll_xy + 0.5 * taus[c][n] * jnp.sum(res * res)
-        else:
-            nll_xy = jnp.float32(0.0)
+        # ---- objective (reference _compute_nll, :396-427; f64-quality
+        # accumulation via compensated f32 reductions) ----
+        nll_xy = jnp.float32(0.0)
+        for c in range(C):
+            for n in range(len(x[c])):
+                A, At, AtA = ops[c][n]
+                if do_proj:
+                    Ay = A(ys[c], Ms[c][n], Minvs[c][n], scls[c][n])
+                else:
+                    Ay = ys[c]
+                msk = xdats[c][n] != 0
+                res = jnp.where(msk, xdats[c][n] - Ay, 0.0)
+                nll_xy = nll_xy + 0.5 * taus[c][n] * stable_sum(res * res)
 
         # ---- gradients for z/w (and the JTV prior term of the objective) ----
         Dys = jax.vmap(grad_c)(ys, lams)  # (C, 3, *dim_y)
-        nll_y = jnp.sum(jnp.sqrt(jnp.sum(Dys * Dys, axis=(0, 1))))
+        nll_y = stable_sum(jnp.sqrt(jnp.sum(Dys * Dys, axis=(0, 1))))
 
         if alpha != 1.0:  # over/under-relaxation (reference :163-190)
             Dys_rel = alpha * Dys + (1.0 - alpha) * z
@@ -196,6 +225,56 @@ def make_admm_step(x, y, sett) -> Callable:
         obj = jnp.stack([nll_xy + nll_y, nll_xy, nll_y])
         return ys, z, w, shrink, obj
 
+    return body
+
+
+# ---------------------------------------------------------------------------
+# The jitted single-iteration step (kept for tests / sharding / back-compat)
+# ---------------------------------------------------------------------------
+
+def make_admm_step(x, y, sett) -> Callable:
+    """Build the jitted ADMM iteration for this problem's static geometry.
+
+    Returned signature:
+        step(ys, z, w, xdats, Ms, Minvs, scls, taus, lams, rho)
+          -> (ys, z, w, jtv, obj)
+    with ys (C,*dim_y); z/w (C,3,*dim_y); nested tuples for per-observation
+    args; obj (3,) f32 = (-ln p(y|x), -ln p(x|y), -ln p(y)).
+    """
+    C = len(x)
+    body = make_admm_body(x, y, sett)
+
+    # per-observation mean diagonal of A^T A (unit tau), from the nominal map
+    # (the chunked fit loop recomputes this on device; here it is frozen at
+    # build time, which is fine for the step's test/demo usage)
+    method = sett.method
+    do_proj = sett.do_proj
+    dim_y = tuple(int(d) for d in y[0].dim)
+    ops = [[make_obs_ops(o.po, method) for o in x[c]] for c in range(C)]
+    c_unit = []
+    for c in range(C):
+        row = []
+        for n in range(len(x[c])):
+            A, At, AtA = ops[c][n]
+            M0, Mi0 = obs_dyn_args(x[c][n].po, method)
+            if do_proj:
+                ata1 = AtA(jnp.ones(dim_y, jnp.float32), M0, Mi0,
+                           jnp.float32(x[c][n].po.scl))
+                row.append(float(jnp.mean(ata1)))
+            else:
+                row.append(1.0)
+        c_unit.append(row)
+
+    def step(ys, z, w, xdats, Ms, Minvs, scls, taus, lams, rho):
+        cdiags = []
+        for c in range(C):
+            acc = jnp.float32(0.0)
+            for n in range(len(x[c])):
+                acc = acc + taus[c][n] * c_unit[c][n]
+            cdiags.append(acc)
+        cdiags = jnp.stack(cdiags)
+        return body(ys, z, w, xdats, Ms, Minvs, scls, taus, lams, rho, cdiags)
+
     return jax.jit(step, donate_argnums=(0, 1, 2))
 
 
@@ -205,7 +284,8 @@ def make_compute_nll(x, y, sett) -> Callable:
     method = sett.method
     do_proj = sett.do_proj
     diff = sett.diff
-    vx_y = tuple(np.sqrt((np.asarray(y[0].mat, np.float64)[:3, :3] ** 2).sum(0)).astype(np.float32))
+    vx_y = tuple(np.sqrt((np.asarray(y[0].mat, np.float64)[:3, :3] ** 2)
+                         .sum(0)).astype(np.float32))
     ops = [[make_obs_ops(o.po, method) for o in x[c]] for c in range(C)]
 
     def nll(ys, xdats, Ms, Minvs, scls, taus, lams):
@@ -216,9 +296,9 @@ def make_compute_nll(x, y, sett) -> Callable:
                 Ay = A(ys[c], Ms[c][n], Minvs[c][n], scls[c][n]) if do_proj else ys[c]
                 msk = xdats[c][n] != 0
                 res = jnp.where(msk, xdats[c][n] - Ay, 0.0)
-                nll_xy = nll_xy + 0.5 * taus[c][n] * jnp.sum(res * res)
+                nll_xy = nll_xy + 0.5 * taus[c][n] * stable_sum(res * res)
         Dys = jax.vmap(lambda yc, lam: lam * im_gradient(yc, vx_y, diff))(ys, lams)
-        nll_y = jnp.sum(jnp.sqrt(jnp.sum(Dys * Dys, axis=(0, 1))))
+        nll_y = stable_sum(jnp.sqrt(jnp.sum(Dys * Dys, axis=(0, 1))))
         return jnp.stack([nll_xy + nll_y, nll_xy, nll_y])
 
     return jax.jit(nll)
