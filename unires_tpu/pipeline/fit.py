@@ -23,7 +23,7 @@ import numpy as np
 from ..geometry import expm, voxel_size
 from ..solvers.admm import admm_aux, make_admm_step, obs_dyn_args, step_size
 from ..solvers.fitloop import (FitState, init_state, make_fit_chunk,
-                               replan_margins)
+                               plan_signature, replan_margins)
 from ..utils.log import info
 from .structs import XData, YData
 
@@ -156,15 +156,28 @@ def fit(x: XData, y: YData, sett):
 
         K = max(1, min(int(getattr(sett, "chunk_iters", 16)), sett.max_iter))
         chunk = make_fit_chunk(x, y, sett, K)
+        sig_built = plan_signature(x, sett, state.q)
+        # LRU of built chunks keyed by plan signature: converged poses
+        # jitter around window ceil boundaries, and rebuilding on every flip
+        # costs a ~60 s re-trace (and crashed the TPU worker by stacking
+        # executables); oscillation instead round-trips through this cache
+        chunk_cache = {sig_built: chunk}
         xdats = tuple(tuple(o.dat for o in xc) for xc in x)
         taus = _gather_dyn_taus(x)
         subdats = _gather_subdats(x, sett)
 
         t00 = info(sett, "fit-start", C, N)
         last_ckpt = int(state.n_iter)
+        debug_timing = bool(os.environ.get("UNIRES_TPU_TIME_CHUNKS"))
         while True:
             t_chunk = timer()
             state, objs, gains, valid = chunk(state, xdats, taus, subdats)
+            if debug_timing:
+                import jax as _jax
+
+                _jax.block_until_ready(objs)
+                print(f"[chunk exec {timer() - t_chunk:.2f}s]", flush=True)
+                t_host = timer()
             objs = np.asarray(objs, np.float64)
             gains = np.asarray(gains, np.float64)
             k_live = int(np.asarray(valid).sum())
@@ -211,14 +224,37 @@ def fit(x: XData, y: YData, sett):
                     info(sett, "fit-finish", t00, n_done - 1)
                 break
 
-            # -- re-plan the Pallas windows if rigid poses drifted close to
-            # the planned capacity (device-side candidate veto guarantees
-            # they can never exceed it; this keeps them from saturating) --
+            # -- re-plan the Pallas windows if rigid poses drifted. Rebuild
+            # (re-trace + compile) ONLY when the window sizes actually
+            # change, or the pose has saturated its plan capacity — both
+            # host-side numpy checks. Re-tracing the chunk with identical
+            # plans would stack identical multi-hundred-MB executables in
+            # device memory (observed worker crash) for zero benefit. --
+            if debug_timing:
+                print(f"[host log+ckpt {timer() - t_host:.2f}s]", flush=True)
+                t_host = timer()
             if sett.unified_rigid:
-                margin = replan_margins(x, sett, state.q)
-                if margin < _REPLAN_MARGIN:
+                # rebuild ONLY when the current pose saturates the ACTIVE
+                # chunk's window plans — a drifted pose whose fresh plan
+                # would be smaller/different is still served exactly by the
+                # bigger built plan (the kernels' capacity is what matters)
+                if replan_margins(x, sett, state.q,
+                                  plans=sig_built) < _REPLAN_MARGIN:
                     _sync_state(x, y, sett, state)
-                    chunk = make_fit_chunk(x, y, sett, K)
+                    sig_now = plan_signature(x, sett, state.q)
+                    if sig_now in chunk_cache:
+                        chunk = chunk_cache[sig_now]
+                    else:
+                        if sett.do_print >= 1:
+                            print(f"OBS: re-planning resampling windows at "
+                                  f"iteration {n_done} (pose drift)")
+                        if len(chunk_cache) >= 3:  # bound device executables
+                            chunk_cache.pop(next(iter(chunk_cache)))
+                        chunk = make_fit_chunk(x, y, sett, K)
+                        chunk_cache[sig_now] = chunk
+                    sig_built = sig_now
+            if debug_timing:
+                print(f"[replan check {timer() - t_host:.2f}s]", flush=True)
 
         _sync_state(x, y, sett, state)
         jtv = state.jtv

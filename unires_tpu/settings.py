@@ -55,6 +55,7 @@ class Settings:
     rho_scl: float = 1.0  # scaling of estimated rho
     rigid_basis: Optional[Any] = None  # derived: se(3) basis
     rigid_mod: int = 1  # update rigid every rigid_mod iterations
+    rigid_gauge_anchor: bool = True  # pin the pose gauge (fixed obs anchored)
     rigid_samp: int = 1  # sub-sampling (mm) for rigid updates
     scaling: bool = False  # optimise even/odd slice scaling
     sched_num: int = 3  # number of coarse-to-fine lambda scalings

@@ -181,6 +181,8 @@ def make_fit_chunk(x, y, sett, K: int):
     max_iter = int(sett.max_iter)
     do_scaling = bool(sett.scaling)
     do_rigid = bool(sett.unified_rigid)
+    gauge_anchor = bool(getattr(sett, "rigid_gauge_anchor", True))
+    anchor_idx = min(max(int(getattr(sett, "fix", 0)), 0), max(Nobs - 1, 0))
     rigid_mod = max(int(sett.rigid_mod), 1)
     num_ls = 6  # reference run.py:119,131 line-search budget
     ct_flags = [x[c][n].ct for (c, n) in obs]
@@ -484,6 +486,18 @@ def make_fit_chunk(x, y, sett, K: int):
                         new_q = []
                         for i2 in range(Nobs):
                             c2, n2 = obs[i2]
+                            if gauge_anchor and i2 == anchor_idx:
+                                # pin the pose gauge by not updating the
+                                # fixed observation: without an anchor the
+                                # poses + recon random-walk together (the
+                                # joint model is gauge-free, reference
+                                # mean_correct, unires/_update.py:243-265)
+                                # — meaningless drift that erodes the
+                                # Pallas window headroom and forces
+                                # re-plans. The relative poses, the only
+                                # identifiable quantity, are unaffected.
+                                new_q.append(qq[i2])
+                                continue
                             dat_i = (xdats[c2][n2]
                                      if sub_infos[i2]["sub_is_main"]
                                      else subdats[i2])
@@ -545,31 +559,100 @@ def make_fit_chunk(x, y, sett, K: int):
     return chunk
 
 
-def replan_margins(x, sett, state_q) -> float:
-    """Min remaining per-axis window headroom over all observations (host).
-
-    The fit loop re-plans (rebuilds the chunk at the drifted pose) when this
-    drops below a safety margin; the device-side candidate veto guarantees it
-    can never go negative.
-    """
+def _obs_maps_np(x, sett, state_q):
+    """Host (M, Minv) per observation at the given poses (f64 numpy)."""
     from ..geometry import expm
 
     basis = (sett.rigid_basis if sett.rigid_basis is not None
              else affine_basis("SE"))
     method = sett.method
     q = np.asarray(state_q, np.float64)
-    worst = np.inf
+    out = []
     i = 0
     for xc in x:
         for o in xc:
             R = expm(q[i], basis)
-            suite = make_obs_suite(o.po, method)
             M = (o.po.M_sr(R) if method == "super-resolution"
                  else o.po.M_den(R))
             M4 = np.eye(4)
             M4[:3, :4] = M
-            Minv = np.linalg.inv(M4)[:3, :4].astype(np.float32)
-            m = np.asarray(suite["margin"](jnp.asarray(M), jnp.asarray(Minv)))
-            worst = min(worst, float(m.min()))
+            out.append((np.asarray(M, np.float64),
+                        np.linalg.inv(M4)[:3, :4]))
             i += 1
+    return out
+
+
+def plan_signature(x, sett, state_q) -> tuple:
+    """Window-plan tuples for all observations at the given poses (host).
+
+    Pure numpy — NO device traffic. The fit loop rebuilds (re-traces) the
+    chunk ONLY when this signature changes: re-planning from a drifted pose
+    that lands on the same window sizes would re-trace a multi-minute graph
+    for an identical program (the round-2 bench crashed by stacking
+    per-chunk re-traced executables in device memory).
+    """
+    from ..models.forward import _use_pallas
+    from ..ops.pallas_resample import plan_pull, plan_push
+
+    if not _use_pallas():
+        return ("xla",)
+    method = sett.method
+    sigs = []
+    maps = _obs_maps_np(x, sett, state_q)
+    i = 0
+    for xc in x:
+        for o in xc:
+            po = o.po
+            src_dim = po.dim_yx if method == "super-resolution" else po.dim_x
+            M, _ = maps[i]
+            sigs.append((plan_pull(po.dim_y, src_dim, M),
+                         plan_push(src_dim, po.dim_y, M)))
+            i += 1
+    return tuple(sigs)
+
+
+def replan_margins(x, sett, state_q, plans=None) -> float:
+    """Min remaining per-axis window headroom over all observations.
+
+    Pure numpy mirror of the device-side capacity check (the device veto
+    guarantees headroom never goes negative). ``plans`` is the signature of
+    the ACTIVE chunk (from :func:`plan_signature` at its build pose) — the
+    margins must be measured against the plans the running kernels actually
+    use, not freshly re-derived ones.
+    """
+    from ..models.forward import _use_pallas
+    from ..ops.pallas_resample import plan_capacity_pull, plan_capacity_push
+
+    if not _use_pallas():
+        return np.inf
+    if plans is None:
+        plans = plan_signature(x, sett, state_q)
+    if plans == ("xla",):
+        return np.inf
+
+    def span_np(M, tile):
+        out = []
+        for d in range(3):
+            sd = abs(abs(M[d, d]) - 1.0) * tile[d]
+            for e in range(3):
+                if e != d:
+                    sd += abs(M[d, e]) * tile[e]
+            out.append(sd)
+        return np.asarray(out)
+
+    worst = np.inf
+    maps = _obs_maps_np(x, sett, state_q)
+    for i, (fp, pp) in enumerate(plans):
+        M, Minv = maps[i]
+        if fp is not None:
+            tile, cap = plan_capacity_pull(fp)
+            worst = min(worst, float(
+                (np.asarray(cap) - span_np(M, tile)).min()))
+        if pp is not None:
+            tile, cap, l1cap = plan_capacity_push(pp)
+            worst = min(worst, float(
+                (np.asarray(cap) - span_np(Minv, tile)).min()))
+            l1 = np.abs(Minv[:, :3]).sum(axis=1)
+            worst = min(worst, float(
+                (np.asarray(l1cap) - 1e-4 - l1).min()))
     return worst
