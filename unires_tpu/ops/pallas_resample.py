@@ -431,7 +431,7 @@ def _make_plan(in_dim, out_dim, span_fn, extent, extra, max_iters):
 
 
 def plan_pull(in_dim, out_dim, M_nominal, slack: float = 0.15,
-              abs_slack: float = 2.0, max_iters: int = 1024):
+              abs_slack: float = 4.0, max_iters: int = 2048):
     """Pull plan, or None -> XLA fallback.
 
     Windows derive from the NOMINAL affine plus a multiplicative AND an
@@ -502,8 +502,8 @@ def dyn_l1(Minv):
 
 
 def plan_push(in_dim, out_dim, M_nominal, slack: float = 0.15,
-              abs_slack: float = 2.0, l1_slack: float = 0.2,
-              max_iters: int = 1024):
+              abs_slack: float = 4.0, l1_slack: float = 0.2,
+              max_iters: int = 2048):
     """Push plan (windows from the inverse map + interpolation support).
 
     Exact accounting: candidates for target v are the integers o with

@@ -27,9 +27,14 @@ from ..solvers.fitloop import (FitState, init_state, make_fit_chunk,
 from ..utils.log import info
 from .structs import XData, YData
 
-# re-plan when any observation's window headroom (span units) drops below
-# this; device-side candidate rejection guarantees headroom never goes < 0
-_REPLAN_MARGIN = 0.35
+# Window-plan policy: plans carry ~4 voxels of additive slack (roughly a
+# +-0.03 rad rotation budget on the 128-lane axis), and the device-side
+# candidate veto REJECTS rigid moves beyond that — poses are bounded, the
+# kernels stay exact, and no re-trace ever happens. Post-coreg residuals
+# are well inside the budget; the veto also tames early GN overshoot.
+# Setting replan_margin > 0 (Settings) re-enables automatic re-planning
+# (a ~60 s re-trace each time the headroom drops below it).
+_REPLAN_MARGIN_DEFAULT = 0.0
 
 
 def get_gain(obj_trace) -> float:
@@ -233,13 +238,15 @@ def fit(x: XData, y: YData, sett):
             if debug_timing:
                 print(f"[host log+ckpt {timer() - t_host:.2f}s]", flush=True)
                 t_host = timer()
-            if sett.unified_rigid:
+            replan_margin = float(getattr(sett, "replan_margin", 0.0)
+                                  or _REPLAN_MARGIN_DEFAULT)
+            if sett.unified_rigid and replan_margin > 0:
                 # rebuild ONLY when the current pose saturates the ACTIVE
                 # chunk's window plans — a drifted pose whose fresh plan
                 # would be smaller/different is still served exactly by the
                 # bigger built plan (the kernels' capacity is what matters)
                 if replan_margins(x, sett, state.q,
-                                  plans=sig_built) < _REPLAN_MARGIN:
+                                  plans=sig_built) < replan_margin:
                     _sync_state(x, y, sett, state)
                     sig_now = plan_signature(x, sett, state.q)
                     if sig_now in chunk_cache:

@@ -56,6 +56,7 @@ class Settings:
     rigid_basis: Optional[Any] = None  # derived: se(3) basis
     rigid_mod: int = 1  # update rigid every rigid_mod iterations
     rigid_gauge_anchor: bool = True  # pin the pose gauge (fixed obs anchored)
+    replan_margin: float = 0.0  # >0: re-plan Pallas windows when headroom < this
     rigid_samp: int = 1  # sub-sampling (mm) for rigid updates
     scaling: bool = False  # optimise even/odd slice scaling
     sched_num: int = 3  # number of coarse-to-fine lambda scalings
