@@ -1,0 +1,95 @@
+"""Rigid-drift guard: the Pallas window plans' capacity veto.
+
+Round-1's high-severity finding (ADVICE.md): rigid poses drifting past the
+planned windows silently corrupted A/At. The guard has two parts — additive
+plan slack (a ~±0.03 rad budget) and a device-side candidate check
+(models.forward.make_resample_suite capacity_ok) that the fit loop's rigid
+line search uses to REJECT out-of-budget moves. These tests drive poses past
+the budget and observe rejection instead of a wrong answer.
+"""
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from unires_tpu.geometry import affine_diag, affine_matrix_classic
+from unires_tpu.models.forward import make_resample_suite
+from unires_tpu.models.proj_op import proj_info
+from unires_tpu.ops.lie import inv44
+
+
+def _suite_pallas(po, method="super-resolution"):
+    os.environ["UNIRES_TPU_BACKEND"] = "pallas"
+    try:
+        return make_resample_suite(po, method)
+    finally:
+        os.environ.pop("UNIRES_TPU_BACKEND", None)
+
+
+def _maps(po, rigid):
+    M = po.M_sr(rigid)
+    M4 = np.eye(4)
+    M4[:3, :4] = M
+    return (jnp.asarray(M), jnp.asarray(
+        np.linalg.inv(M4)[:3, :4].astype(np.float32)))
+
+
+def test_capacity_ok_within_and_beyond_budget():
+    po = proj_info((40, 44, 140), np.eye(4), (40, 44, 35),
+                   affine_diag([1, 1, 4]), prof_ip=2, prof_tp=0)
+    suite = _suite_pallas(po)
+    assert suite["pallas"] == (True, True)
+
+    # nominal pose: comfortably inside
+    M, Minv = _maps(po, np.eye(4))
+    assert bool(suite["capacity_ok"](M, Minv))
+    # small drift (~0.01 rad): inside the ±0.03 budget
+    M, Minv = _maps(po, affine_matrix_classic([0.5, -0.3, 0.2,
+                                               0.007, -0.005, 0.007]))
+    assert bool(suite["capacity_ok"](M, Minv))
+    # far beyond the budget (~0.3 rad): must be vetoed
+    M, Minv = _maps(po, affine_matrix_classic([0, 0, 0, 0.3, 0.0, 0.0]))
+    assert not bool(suite["capacity_ok"](M, Minv))
+    # large translations alone are FREE (dynamic per-tile anchors)
+    M, Minv = _maps(po, affine_matrix_classic([25.0, -18.0, 11.0]))
+    assert bool(suite["capacity_ok"](M, Minv))
+
+
+def test_margin_decreases_with_rotation():
+    po = proj_info((40, 44, 140), np.eye(4), (40, 44, 35),
+                   affine_diag([1, 1, 4]), prof_ip=2, prof_tp=0)
+    suite = _suite_pallas(po)
+    margins = []
+    for rot in (0.0, 0.01, 0.02, 0.05):
+        M, Minv = _maps(po, affine_matrix_classic([0, 0, 0, rot, 0, 0]))
+        margins.append(float(np.asarray(suite["margin"](M, Minv)).min()))
+    assert margins[0] > margins[1] > margins[2] > margins[3]
+    assert margins[0] > 0
+
+
+def test_host_margin_mirror_matches_device():
+    """replan_margins (host numpy) must agree with the device margin."""
+    import types
+
+    from unires_tpu.solvers.fitloop import plan_signature, replan_margins
+
+    po = proj_info((40, 44, 140), np.eye(4), (40, 44, 35),
+                   affine_diag([1, 1, 4]), prof_ip=2, prof_tp=0)
+    suite = _suite_pallas(po)
+    sett = types.SimpleNamespace(method="super-resolution", rigid_basis=None)
+    x = [[types.SimpleNamespace(po=po)]]
+    q = np.zeros((1, 6))
+    q[0, 4] = 0.015  # ~0.011 rad about y
+    os.environ["UNIRES_TPU_BACKEND"] = "pallas"
+    try:
+        plans = plan_signature(x, sett, q)
+        host_m = replan_margins(x, sett, q, plans=plans)
+    finally:
+        os.environ.pop("UNIRES_TPU_BACKEND", None)
+    from unires_tpu.geometry import affine_basis, expm
+
+    R = expm(q[0], affine_basis("SE"))
+    M, Minv = _maps(po, R)
+    dev_m = float(np.asarray(suite["margin"](M, Minv)).min())
+    assert abs(host_m - dev_m) < 1e-3, (host_m, dev_m)
