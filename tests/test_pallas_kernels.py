@@ -101,3 +101,43 @@ def test_pull_grad_matches_xla(name, mat):
         return  # exact agreement (e.g. integer affines: no rounding at all)
     assert np.all(diff[~edge] < 1e-5), diff[~edge].max()
     assert edge.mean() < 0.01  # the mask must stay measure-zero-ish
+
+
+SHEAR_AFFINES = AFFINES + [
+    ("bigrot", affine_matrix_classic([0.5, 0.2, -0.3, 0.045, -0.04, 0.03])),
+]
+
+
+@pytest.mark.parametrize("name,mat", SHEAR_AFFINES)
+def test_pull_shear_matches_xla(name, mat):
+    from unires_tpu.ops.pallas_resample import (pallas_pull_shear,
+                                                plan_pull_shear)
+
+    rng = np.random.default_rng(3)
+    vol = jnp.asarray(rng.random(IN_DIM, dtype=np.float32))
+    M = affine_to_M(mat)
+    plan = plan_pull_shear(IN_DIM, OUT_DIM, np.asarray(mat)[:3, :4])
+    assert plan is not None
+    with pltpu.force_tpu_interpret_mode():
+        got = pallas_pull_shear(vol, M, OUT_DIM, plan)
+    want = xla_pull(vol, M, OUT_DIM)
+    assert np.allclose(np.asarray(got), np.asarray(want), atol=1e-5), \
+        np.abs(np.asarray(got) - np.asarray(want)).max()
+
+
+def test_pull_shear_drift_proof():
+    """A plan built at IDENTITY stays exact for any pose within the rotation
+    budget — the property the plain kernel lacks (drift windows)."""
+    from unires_tpu.ops.pallas_resample import (pallas_pull_shear,
+                                                plan_pull_shear)
+
+    rng = np.random.default_rng(4)
+    vol = jnp.asarray(rng.random(IN_DIM, dtype=np.float32))
+    plan = plan_pull_shear(IN_DIM, OUT_DIM, np.eye(4)[:3, :4])
+    for rot in (0.01, 0.03, 0.045):
+        mat = affine_matrix_classic([0.5, -0.2, 0.3, rot, -rot, 0.7 * rot])
+        M = affine_to_M(mat)
+        with pltpu.force_tpu_interpret_mode():
+            got = pallas_pull_shear(vol, M, OUT_DIM, plan)
+        want = xla_pull(vol, M, OUT_DIM)
+        assert np.allclose(np.asarray(got), np.asarray(want), atol=1e-5), rot

@@ -25,10 +25,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.conv import blur_down_sep, blur_up_sep
-from ..ops.pallas_resample import (dyn_l1, dyn_span, pallas_pull,
-                                   pallas_pull_grad, pallas_push,
-                                   plan_capacity_pull, plan_capacity_push,
-                                   plan_pull, plan_push)
+from ..ops.pallas_resample import (dyn_l1, dyn_span, dyn_span_shear,
+                                   pallas_pull, pallas_pull_grad,
+                                   pallas_pull_shear, pallas_push,
+                                   plan_capacity_pull,
+                                   plan_capacity_pull_shear,
+                                   plan_capacity_push, plan_pull,
+                                   plan_pull_shear, plan_push)
 from ..ops.resample import pull, pull_grad, push, push_window
 from ..ops.scaling import apply_scaling
 from .proj_op import ProjOp
@@ -78,14 +81,35 @@ def make_resample_suite(po: ProjOp, method: Method, rigid=None) -> dict:
     dim_y = po.dim_y
     M_nom = po.M_sr(rigid) if method == "super-resolution" else po.M_den(rigid)
 
-    pplan = fplan = None
+    use_shear = os.environ.get("UNIRES_TPU_SHEAR", "0") not in ("0", "")
+    pplan = fplan = splan = None
     if _use_pallas():
-        fplan = plan_pull(dim_y, src_dim, M_nom)
+        if use_shear:
+            splan = plan_pull_shear(dim_y, src_dim, M_nom)
+        if splan is None:
+            fplan = plan_pull(dim_y, src_dim, M_nom)
         pplan = plan_push(src_dim, dim_y, M_nom)
 
     checks = []  # callables M, Minv -> (3,) headroom (span units)
 
-    if fplan is not None:
+    if splan is not None:
+        # shear pre-pass pull: windows are rotation-independent; only the
+        # DMA cover bounds the pose budget (~+-0.05 rad)
+        def pull_fn(dat, M):
+            return pallas_pull_shear(dat, M, src_dim, splan)
+
+        s_tile, s_wcap, s_ccap = plan_capacity_pull_shear(splan)
+        s_wcapj = jnp.asarray(s_wcap, jnp.float32)
+        s_ccapj = jnp.asarray(s_ccap, jnp.float32)
+
+        def _pull_headroom(M, Minv, tile=s_tile, wcap=s_wcapj, ccap=s_ccapj):
+            hw = wcap - dyn_span_shear(M, tile)
+            hc = ccap - dyn_span(M, tile)[:2]
+            return jnp.minimum(hw, jnp.concatenate(
+                [hc, jnp.full((1,), jnp.float32(_BIG_HEAD))]))
+
+        checks.append(_pull_headroom)
+    elif fplan is not None:
         def pull_fn(dat, M):
             return pallas_pull(dat, M, src_dim, fplan)
 
@@ -146,7 +170,8 @@ def make_resample_suite(po: ProjOp, method: Method, rigid=None) -> dict:
 
     return dict(pull=pull_fn, push=push_fn, pull_grad=pull_grad_fn,
                 capacity_ok=capacity_ok, margin=margin,
-                pallas=(fplan is not None, pplan is not None))
+                pallas=(fplan is not None or splan is not None,
+                        pplan is not None))
 
 
 _BIG_HEAD = 1e6  # "unlimited" headroom sentinel (span units)

@@ -293,6 +293,115 @@ def _pull_grad_kernel(tile, cover, win, in_dim, pad_dim, kernel_refs):
     gz_ref[:] = accz
 
 
+def _pull_shear_kernel(tile, cover, win, in_dim, pad_dim, kernel_refs):
+    """Pull kernel with a per-lane shear pre-pass (rotation-proof windows).
+
+    The plain pull kernel's x/y windows grow with |M[d][2]| * TZ (128 lanes)
+    — rotations and rigid drift inflate them 5-10x. Here the scratch is
+    pre-sheared along x and y by the DYNAMIC per-z-column integer shifts
+    t_d(c) = floor(M[d][2] * c + 0.5) (bit-decomposed static rolls selected
+    by lane masks), so the remaining index spread is rotation-independent:
+    windows stay at ~interpolation support for ANY pose that fits the DMA
+    cover box. Weights are evaluated with the w loop OUTERMOST so the
+    shear-corrected x/y weights hoist out of the inner accumulation.
+    """
+    m_ref, vol_ref, out_ref, scratch, sem = kernel_refs
+    TX, TY, TZ = tile
+    WX, WY, WZ = win
+
+    m = [[m_ref[4 * d + c] for c in range(4)] for d in range(3)]
+    origin = [pl.program_id(i) * tile[i] for i in range(3)]
+    of = [jnp.float32(o) for o in origin]
+
+    mins = _corner_min(m, of, tile)
+    s, cp = _anchor_dma(mins, (0, 0, 0), pad_dim, cover, vol_ref, scratch, sem)
+
+    base = [
+        jax.lax.broadcasted_iota(jnp.int32, (TX, TY, TZ), d) for d in range(3)
+    ]
+    ii = base[0].astype(jnp.float32) + of[0]
+    jj = base[1].astype(jnp.float32) + of[1]
+    kk = base[2].astype(jnp.float32) + of[2]
+    g = [m[d][0] * ii + m[d][1] * jj + m[d][2] * kk + m[d][3] for d in range(3)]
+    fov = ((g[0] >= -0.5) & (g[0] <= in_dim[0] - 0.5)
+           & (g[1] >= -0.5) & (g[1] <= in_dim[1] - 0.5)
+           & (g[2] >= -0.5) & (g[2] <= in_dim[2] - 0.5))
+
+    rel, frac, u0 = [], [], []
+    for d in range(3):
+        l = g[d] - s[d].astype(jnp.float32)
+        i0 = jnp.floor(l)
+        frac.append(l - i0)
+        r = i0.astype(jnp.int32) - base[d]
+        rel.append(r)
+        u0.append(None)  # x/y anchors are shear-corrected below
+    # z anchor as in the plain kernel
+    u0[2] = jnp.clip(_masked_min(rel[2], fov), -(cover[2] - 1), cover[2] - 1)
+
+    # per-z-column shear shifts on the ORIGINAL scratch columns c:
+    # t_d(c) = floor(gamma_d * c + 0.5); valid (non-wrapped) element (k, w)
+    # reads column c = k + u0z + w, so the weight-side shift recomputes the
+    # same expression per w. gamma = d(g_d)/d(lane).
+    gx, gy = m[0][2], m[1][2]
+    cvec = jax.lax.broadcasted_iota(jnp.int32, (1, 1, cover[2]), 2)
+    tx_col = jnp.floor(gx * cvec.astype(jnp.float32) + 0.5).astype(jnp.int32)
+    ty_col = jnp.floor(gy * cvec.astype(jnp.float32) + 0.5).astype(jnp.int32)
+
+    # anchors from the mid-window shear estimate (exactness is per-w below;
+    # the anchor only needs to be within the planned window of every truth)
+    kl = jax.lax.broadcasted_iota(jnp.int32, (1, 1, TZ), 2)
+
+    def _t_at(gamma, woff):
+        return jnp.floor(gamma * (kl + u0[2] + woff).astype(jnp.float32)
+                         + 0.5).astype(jnp.int32)
+
+    t_mid_x = _t_at(gx, WZ // 2)
+    t_mid_y = _t_at(gy, WZ // 2)
+    # -1: t_w varies by up to one below the mid-window estimate (floor
+    # jitter across the small w window) — the anchor must sit under the
+    # LOWEST per-w shift or those elements fall outside the window
+    u0[0] = jnp.clip(_masked_min(rel[0] - t_mid_x, fov) - 1,
+                     -(cover[0] - 1), cover[0] - 1)
+    u0[1] = jnp.clip(_masked_min(rel[1] - t_mid_y, fov) - 1,
+                     -(cover[1] - 1), cover[1] - 1)
+
+    cp.wait()
+    scr = scratch[:]
+    # shear first (per ORIGINAL z column), then the modular anchor rolls —
+    # the z roll relabels columns but each keeps its own shear, so the
+    # element-level bookkeeping above stays exact
+    for axis, tcol in ((0, tx_col), (1, ty_col)):
+        r_amt = jnp.remainder(-tcol, cover[axis])  # roll amount per column
+        bits = max(1, (cover[axis] - 1).bit_length())
+        for b in range(bits):
+            sel = (r_amt & (1 << b)) != 0
+            rolled = pltpu.roll(scr, 1 << b, axis)
+            scr = jnp.where(sel, rolled, scr)
+    for d in range(3):
+        scr = pltpu.roll(scr, jnp.remainder(-u0[d], scr.shape[d]), d)
+
+    fovf = fov.astype(jnp.float32)
+    acc = jnp.zeros((TX, TY, TZ), jnp.float32)
+    for w in range(WZ):
+        wz = _axis_weight(rel[2], u0[2], frac[2], w,
+                          s[2] + u0[2] + w + base[2], in_dim[2]) * fovf
+        tw_x = _t_at(gx, w)
+        tw_y = _t_at(gy, w)
+        relx_w = rel[0] - tw_x
+        rely_w = rel[1] - tw_y
+        wys = [_axis_weight(rely_w, u0[1], frac[1], v,
+                            s[1] + u0[1] + v + base[1] + tw_y, in_dim[1])
+               for v in range(WY)]
+        for u in range(WX):
+            wx = _axis_weight(relx_w, u0[0], frac[0], u,
+                              s[0] + u0[0] + u + base[0] + tw_x, in_dim[0])
+            wxz = wx * wz
+            for v in range(WY):
+                slab = scr[u:u + TX, v:v + TY, w:w + TZ]
+                acc = acc + (wxz * wys[v]) * slab
+    out_ref[:] = acc
+
+
 def _push_kernel(tile, cover, win, lo, in_dim, pad_dim, out_dim, kernel_refs):
     """Body of the push kernel (exact adjoint of pull, gather-formulated).
 
@@ -449,6 +558,78 @@ def plan_pull(in_dim, out_dim, M_nominal, slack: float = 0.15,
                       lambda tile, d: _span(L, tile, d) * (1.0 + slack)
                       + abs_slack,
                       extent=2, extra=4, max_iters=max_iters)
+
+
+def plan_pull_shear(in_dim, out_dim, M_nominal, rot_budget: float = 0.05,
+                    slack: float = 0.15, max_iters: int = 512):
+    """Plan for the shear pull kernel, or None -> fallback.
+
+    Compute windows exclude the lane-coupling term (the shear pre-pass
+    removes it), so they are ROTATION-INDEPENDENT: any pose within
+    ``rot_budget`` radians of nominal runs exactly, with only the DMA cover
+    box sized for the full (sheared) footprint. 1.5 window slack covers the
+    shear rounding + the mid-window anchor estimate.
+    """
+    L = np.asarray(M_nominal, np.float64)[:3, :3]
+    tile = (min(8, _round_up(out_dim[0], 8)),
+            min(8, _round_up(out_dim[1], 8)),
+            min(128, _round_up(out_dim[2], 128)))
+    TX, TY, TZ = tile
+    # 2.5 = shear floor-rounding (1) + anchor under-offset (1) + mid-window
+    # drift of t across the w window (0.5)
+    shear_sl = 2.5 + rot_budget * (TX + TY)
+    win = []
+    for d in range(2):
+        o = 1 - d
+        sd = (abs(abs(L[d][d]) - 1.0) * tile[d] + abs(L[d][o]) * tile[o])
+        win.append(int(math.ceil(sd * (1.0 + slack) + shear_sl)) + 2)
+    sz = _span(L, tile, 2) * (1.0 + slack) + 0.5 + rot_budget * (TX + TY)
+    win.append(int(math.ceil(sz)) + 2)
+    win = tuple(win)
+    if win[0] * win[1] * win[2] > max_iters:
+        return None
+    # DMA cover: the full footprint including lane coupling at any pose
+    # within the rotation budget
+    full = [_span(L, tile, d) + rot_budget * (TX + TY + TZ) for d in range(3)]
+    extra = 4
+    pad_z = _round_up(max(in_dim[2], tile[2] + int(math.ceil(full[2])) + 2
+                          + extra), 128)
+    cover = (TX + int(math.ceil(full[0])) + 2 + extra,
+             _round_up(TY + int(math.ceil(full[1])) + 2 + extra, 8) + 8,
+             pad_z)
+    pad_dim = (max(in_dim[0], cover[0]),
+               _round_up(max(in_dim[1], cover[1]), 8), pad_z)
+    tile_bytes = int(np.prod(tile)) * 4
+    vmem_est = 2 * int(np.prod(cover)) * 4 + 12 * tile_bytes
+    if vmem_est > 10 * 1024 * 1024:
+        return None
+    return tile, cover, pad_dim, win
+
+
+def plan_capacity_pull_shear(plan):
+    """(tile, win_caps, cover_caps): the shear kernel is exact for dynamic M
+    with per-axis SHEARED span (x/y: no lane term) <= win_caps[d] AND full
+    footprint span <= cover_caps[d] (z unconstrained: full axis resident)."""
+    tile, cover, pad_dim, win = plan
+    win_caps = (float(win[0] - 2) - 1.5, float(win[1] - 2) - 1.5,
+                float(win[2] - 2) - 0.5)
+    cover_caps = (float(cover[0] - tile[0] - 4),
+                  float(cover[1] - 8 - tile[1] - 4))
+    return tile, win_caps, cover_caps
+
+
+def dyn_span_shear(M, tile):
+    """Device (3,) SHEARED per-axis index-field span (x/y without the lane
+    term, z as usual) of (3,4) map ``M`` over a tile."""
+    import jax.numpy as _jnp
+
+    sx = (_jnp.abs(_jnp.abs(M[0, 0]) - 1.0) * tile[0]
+          + _jnp.abs(M[0, 1]) * tile[1])
+    sy = (_jnp.abs(M[1, 0]) * tile[0]
+          + _jnp.abs(_jnp.abs(M[1, 1]) - 1.0) * tile[1])
+    sz = (_jnp.abs(M[2, 0]) * tile[0] + _jnp.abs(M[2, 1]) * tile[1]
+          + _jnp.abs(_jnp.abs(M[2, 2]) - 1.0) * tile[2])
+    return _jnp.stack([sx, sy, sz])
 
 
 def plan_capacity_pull(plan):
@@ -640,3 +821,35 @@ def pallas_push(vals: Array, M: Array, Minv: Array, vol_dim, plan) -> Array:
 def pallas_pull_grad(vol: Array, M: Array, out_dim, plan) -> Array:
     """d(pull)/d(sample coords), shape out_dim + (3,); plan from plan_pull."""
     return _pull_grad_call(vol, M, plan, tuple(vol.shape), tuple(out_dim))
+
+
+@functools.partial(jax.jit, static_argnames=("plan", "in_dim", "out_dim"))
+def _pull_shear_call(vol, M, plan, in_dim, out_dim):
+    tile, cover, pad_dim, win = plan
+    volp = _pad_to(vol, pad_dim)
+    grid = tuple(pl.cdiv(out_dim[d], tile[d]) for d in range(3))
+    kernel = functools.partial(_pull_shear_kernel, tile, cover, win, in_dim,
+                               pad_dim)
+
+    def body(m_ref, vol_ref, out_ref, scratch, sem):
+        kernel((m_ref, vol_ref, out_ref, scratch, sem))
+
+    return pl.pallas_call(
+        body,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            out_specs=pl.BlockSpec(tile, lambda i, j, k, sc: (i, j, k),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM(cover, jnp.float32),
+                            pltpu.SemaphoreType.DMA(())],
+        ),
+        out_shape=jax.ShapeDtypeStruct(out_dim, jnp.float32),
+        compiler_params=_COMPILER_PARAMS,
+    )(M.reshape(-1), volp)
+
+
+def pallas_pull_shear(vol: Array, M: Array, out_dim, plan) -> Array:
+    """Shear-pre-pass trilinear pull; plan from :func:`plan_pull_shear`."""
+    return _pull_shear_call(vol, M, plan, tuple(vol.shape), tuple(out_dim))
