@@ -81,13 +81,15 @@ def make_resample_suite(po: ProjOp, method: Method, rigid=None) -> dict:
     dim_y = po.dim_y
     M_nom = po.M_sr(rigid) if method == "super-resolution" else po.M_den(rigid)
 
-    use_shear = os.environ.get("UNIRES_TPU_SHEAR", "0") not in ("0", "")
+    use_shear = os.environ.get("UNIRES_TPU_SHEAR", "1") not in ("0", "")
     pplan = fplan = splan = None
     if _use_pallas():
         if use_shear:
             splan = plan_pull_shear(dim_y, src_dim, M_nom)
-        if splan is None:
-            fplan = plan_pull(dim_y, src_dim, M_nom)
+        # the plain plan stays even when shear handles pull: pull_grad has
+        # no shear variant yet (round-3), and it must NOT fall back to XLA
+        # gathers (~400 ms/call at volume scale)
+        fplan = plan_pull(dim_y, src_dim, M_nom)
         pplan = plan_push(src_dim, dim_y, M_nom)
 
     checks = []  # callables M, Minv -> (3,) headroom (span units)
@@ -109,6 +111,16 @@ def make_resample_suite(po: ProjOp, method: Method, rigid=None) -> dict:
                 [hc, jnp.full((1,), jnp.float32(_BIG_HEAD))]))
 
         checks.append(_pull_headroom)
+        if fplan is not None:
+            # pull_grad still runs on the plain plan: keep its capacity in
+            # the pose budget until the shear pull_grad variant lands
+            fg_tile, fg_cap = plan_capacity_pull(fplan)
+            fg_capj = jnp.asarray(fg_cap, jnp.float32)
+
+            def _pull_grad_headroom(M, Minv, tile=fg_tile, cap=fg_capj):
+                return cap - dyn_span(M, tile)
+
+            checks.append(_pull_grad_headroom)
     elif fplan is not None:
         def pull_fn(dat, M):
             return pallas_pull(dat, M, src_dim, fplan)
