@@ -94,3 +94,26 @@ def test_write_jtv_and_bids(nifti_inputs, tmp_path):
     assert any("space-unires" in f for f in outs), outs
     assert any(f.startswith("jtv_") for f in outs), outs
     assert R.shape == (2, 4, 4)
+
+
+def test_profiler_trace_written(tmp_path):
+    """sett.profile_dir writes a jax.profiler trace during fit (SURVEY §5)."""
+    import os
+
+    from phantoms import blob_phantom, degrade
+    from unires_tpu import Settings, init
+    from unires_tpu.pipeline.fit import fit as fit_solver
+
+    gt = blob_phantom(dim=(16, 16, 17), amplitude=500.0, seed=9)
+    x_obs, mat_x, _ = degrade(gt, thick=4.0, noise_sd=20.0, seed=9)
+    prof = str(tmp_path / "prof")
+    sett = Settings(vx=1.0, do_coreg=False, do_print=0, sched_num=0,
+                    reg_scl=4.0, write_out=False, max_iter=2, chunk_iters=2,
+                    profile_dir=prof)
+    x, y, sett = init([[x_obs, mat_x]], sett)
+    fit_solver(x, y, sett)
+    found = []
+    for root, _, files in os.walk(prof):
+        found += [f for f in files if f.endswith((".pb", ".json.gz", ".trace"))
+                  or "trace" in f]
+    assert found, f"no trace files under {prof}"

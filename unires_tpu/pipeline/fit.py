@@ -174,6 +174,15 @@ def fit(x: XData, y: YData, sett):
         t00 = info(sett, "fit-start", C, N)
         last_ckpt = int(state.n_iter)
         debug_timing = bool(os.environ.get("UNIRES_TPU_TIME_CHUNKS"))
+        profiler_ctx = None
+        if getattr(sett, "profile_dir", None):
+            # device-level tracing (SURVEY §5: the reference has wall-clock
+            # prints only; this captures per-kernel timelines viewable in
+            # TensorBoard / Perfetto)
+            import jax.profiler as _prof
+
+            profiler_ctx = _prof.trace(sett.profile_dir)
+            profiler_ctx.__enter__()
         while True:
             t_chunk = timer()
             state, objs, gains, valid = chunk(state, xdats, taus, subdats)
@@ -263,6 +272,8 @@ def fit(x: XData, y: YData, sett):
             if debug_timing:
                 print(f"[replan check {timer() - t_host:.2f}s]", flush=True)
 
+        if profiler_ctx is not None:
+            profiler_ctx.__exit__(None, None, None)
         _sync_state(x, y, sett, state)
         jtv = state.jtv
 

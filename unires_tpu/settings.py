@@ -71,6 +71,7 @@ class Settings:
     # device-loop chunking (not in the reference; the TPU fit loop runs
     # chunk_iters outer iterations per device call — solvers.fitloop)
     chunk_iters: int = 16
+    profile_dir: Optional[str] = None  # write a jax.profiler trace of fit here
 
     # checkpoint/resume (not in the reference, SURVEY §5 rebuild note)
     checkpoint_every: int = 0  # save solver state every N iterations (0=off)
