@@ -141,3 +141,53 @@ def test_pull_shear_drift_proof():
             got = pallas_pull_shear(vol, M, OUT_DIM, plan)
         want = xla_pull(vol, M, OUT_DIM)
         assert np.allclose(np.asarray(got), np.asarray(want), atol=1e-5), rot
+
+
+@pytest.mark.parametrize("name,mat", SHEAR_AFFINES)
+def test_push_shear_matches_xla_and_adjoint(name, mat):
+    from unires_tpu.ops.pallas_resample import (pallas_pull_shear,
+                                                pallas_push_shear,
+                                                plan_pull_shear,
+                                                plan_push_shear)
+
+    rng = np.random.default_rng(5)
+    vals = jnp.asarray(rng.random(OUT_DIM, dtype=np.float32))
+    vol = jnp.asarray(rng.random(IN_DIM, dtype=np.float32))
+    M = affine_to_M(mat)
+    M4 = np.eye(4)
+    M4[:3, :4] = np.asarray(M)
+    Minv = jnp.asarray(np.linalg.inv(M4)[:3, :4].astype(np.float32))
+    pplan = plan_push_shear(OUT_DIM, IN_DIM, np.asarray(mat)[:3, :4])
+    fplan = plan_pull_shear(IN_DIM, OUT_DIM, np.asarray(mat)[:3, :4])
+    assert pplan is not None and fplan is not None
+    with pltpu.force_tpu_interpret_mode():
+        got = pallas_push_shear(vals, M, Minv, IN_DIM, pplan)
+        Ay = pallas_pull_shear(vol, M, OUT_DIM, fplan)
+    want = xla_push(vals, M, IN_DIM)
+    scale = float(jnp.max(jnp.abs(want))) + 1e-6
+    assert np.allclose(np.asarray(got), np.asarray(want),
+                       atol=1e-4 * scale + 1e-5)
+    lhs = float(jnp.sum(Ay * vals))
+    rhs = float(jnp.sum(got * vol))
+    assert abs(lhs - rhs) < 2e-5 * abs(lhs)
+
+
+def test_push_shear_drift_proof():
+    from unires_tpu.ops.pallas_resample import (pallas_push_shear,
+                                                plan_push_shear)
+
+    rng = np.random.default_rng(6)
+    vals = jnp.asarray(rng.random(OUT_DIM, dtype=np.float32))
+    plan = plan_push_shear(OUT_DIM, IN_DIM, np.eye(4)[:3, :4])
+    for rot in (0.01, 0.03, 0.045):
+        mat = affine_matrix_classic([0.5, -0.2, 0.3, rot, -rot, 0.7 * rot])
+        M = affine_to_M(mat)
+        M4 = np.eye(4)
+        M4[:3, :4] = np.asarray(M)
+        Minv = jnp.asarray(np.linalg.inv(M4)[:3, :4].astype(np.float32))
+        with pltpu.force_tpu_interpret_mode():
+            got = pallas_push_shear(vals, M, Minv, IN_DIM, plan)
+        want = xla_push(vals, M, IN_DIM)
+        scale = float(jnp.max(jnp.abs(want))) + 1e-6
+        assert np.allclose(np.asarray(got), np.asarray(want),
+                           atol=1e-4 * scale + 1e-5), rot

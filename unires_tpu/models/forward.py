@@ -28,10 +28,12 @@ from ..ops.conv import blur_down_sep, blur_up_sep
 from ..ops.pallas_resample import (dyn_l1, dyn_span, dyn_span_shear,
                                    pallas_pull, pallas_pull_grad,
                                    pallas_pull_shear, pallas_push,
-                                   plan_capacity_pull,
+                                   pallas_push_shear, plan_capacity_pull,
                                    plan_capacity_pull_shear,
-                                   plan_capacity_push, plan_pull,
-                                   plan_pull_shear, plan_push)
+                                   plan_capacity_push,
+                                   plan_capacity_push_shear, plan_pull,
+                                   plan_pull_shear, plan_push,
+                                   plan_push_shear)
 from ..ops.resample import pull, pull_grad, push, push_window
 from ..ops.scaling import apply_scaling
 from .proj_op import ProjOp
@@ -82,15 +84,17 @@ def make_resample_suite(po: ProjOp, method: Method, rigid=None) -> dict:
     M_nom = po.M_sr(rigid) if method == "super-resolution" else po.M_den(rigid)
 
     use_shear = os.environ.get("UNIRES_TPU_SHEAR", "1") not in ("0", "")
-    pplan = fplan = splan = None
+    pplan = fplan = splan = psplan = None
     if _use_pallas():
         if use_shear:
             splan = plan_pull_shear(dim_y, src_dim, M_nom)
+            psplan = plan_push_shear(src_dim, dim_y, M_nom)
         # the plain plan stays even when shear handles pull: pull_grad has
         # no shear variant yet (round-3), and it must NOT fall back to XLA
         # gathers (~400 ms/call at volume scale)
         fplan = plan_pull(dim_y, src_dim, M_nom)
-        pplan = plan_push(src_dim, dim_y, M_nom)
+        if psplan is None:
+            pplan = plan_push(src_dim, dim_y, M_nom)
 
     checks = []  # callables M, Minv -> (3,) headroom (span units)
 
@@ -137,7 +141,26 @@ def make_resample_suite(po: ProjOp, method: Method, rigid=None) -> dict:
             return pull(dat, M, src_dim)
         # XLA gather pull: valid for any affine
 
-    if pplan is not None:
+    if psplan is not None:
+        def push_fn(dat, M, Minv):
+            return pallas_push_shear(dat, M, Minv, dim_y, psplan)
+
+        ps_tile, ps_wcap, ps_l1, ps_ccap = plan_capacity_push_shear(psplan)
+        ps_wcapj = jnp.asarray(ps_wcap, jnp.float32)
+        ps_l1j = jnp.asarray(ps_l1, jnp.float32)
+        ps_ccapj = jnp.asarray(ps_ccap, jnp.float32)
+
+        def _push_headroom(M, Minv, tile=ps_tile, wcap=ps_wcapj,
+                           l1cap=ps_l1j, ccap=ps_ccapj):
+            hw = wcap - dyn_span_shear(Minv, tile)
+            hl = l1cap - 1e-4 - dyn_l1(Minv)
+            hc = ccap - dyn_span(Minv, tile)[:2]
+            hc3 = jnp.concatenate(
+                [hc, jnp.full((1,), jnp.float32(_BIG_HEAD))])
+            return jnp.minimum(jnp.minimum(hw, hl), hc3)
+
+        checks.append(_push_headroom)
+    elif pplan is not None:
         def push_fn(dat, M, Minv):
             return pallas_push(dat, M, Minv, dim_y, pplan)
 
@@ -183,7 +206,7 @@ def make_resample_suite(po: ProjOp, method: Method, rigid=None) -> dict:
     return dict(pull=pull_fn, push=push_fn, pull_grad=pull_grad_fn,
                 capacity_ok=capacity_ok, margin=margin,
                 pallas=(fplan is not None or splan is not None,
-                        pplan is not None))
+                        pplan is not None or psplan is not None))
 
 
 _BIG_HEAD = 1e6  # "unlimited" headroom sentinel (span units)

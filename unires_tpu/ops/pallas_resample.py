@@ -499,6 +499,116 @@ def _push_kernel(tile, cover, win, lo, in_dim, pad_dim, out_dim, kernel_refs):
     out_ref[:] = acc
 
 
+def _push_shear_kernel(tile, cover, win, lo, in_dim, pad_dim, out_dim,
+                       kernel_refs):
+    """Push kernel with the per-lane shear pre-pass (see _pull_shear_kernel).
+
+    The source scratch is pre-sheared along x/y by the INVERSE map's lane
+    slopes t'_d(c) = floor(Minv[d][2] c + 0.5); the per-candidate hat
+    weights get the matching correction M[:, :2] @ t' folded into their T
+    offsets. Windows then exclude the |Minv[d][2]|*TZ lane terms.
+    """
+    m_ref, vol_ref, out_ref, scratch, sem = kernel_refs
+    TX, TY, TZ = tile
+    WX, WY, WZ = win
+
+    m = [[m_ref[4 * d + c] for c in range(4)] for d in range(3)]
+    mi = [[m_ref[12 + 4 * d + c] for c in range(4)] for d in range(3)]
+    origin = [pl.program_id(i) * tile[i] for i in range(3)]
+    of = [jnp.float32(o) for o in origin]
+
+    mins = _corner_min(mi, of, tile)
+    s, cp = _anchor_dma(mins, lo, pad_dim, cover, vol_ref, scratch, sem)
+
+    base = [
+        jax.lax.broadcasted_iota(jnp.int32, (TX, TY, TZ), d) for d in range(3)
+    ]
+    ii = base[0].astype(jnp.float32) + of[0]
+    jj = base[1].astype(jnp.float32) + of[1]
+    kk = base[2].astype(jnp.float32) + of[2]
+
+    c = [mi[d][0] * ii + mi[d][1] * jj + mi[d][2] * kk + mi[d][3]
+         for d in range(3)]
+    # anchor-RELATIVE floor field (scratch positions are s-relative; the
+    # rolls and reads below must be too)
+    rel = [jnp.floor(c[d] - s[d].astype(jnp.float32)).astype(jnp.int32)
+           - base[d] for d in range(3)]
+    u0 = [None, None, None]
+    u0[2] = jnp.clip(jnp.min(rel[2]) - lo[2], -(cover[2] - 1), cover[2] - 1)
+
+    gx, gy = mi[0][2], mi[1][2]
+    cvec = jax.lax.broadcasted_iota(jnp.int32, (1, 1, cover[2]), 2)
+    tx_col = jnp.floor(gx * cvec.astype(jnp.float32) + 0.5).astype(jnp.int32)
+    ty_col = jnp.floor(gy * cvec.astype(jnp.float32) + 0.5).astype(jnp.int32)
+    kl = jax.lax.broadcasted_iota(jnp.int32, (1, 1, TZ), 2)
+
+    def _t_at(gamma, woff):
+        return jnp.floor(gamma * (kl + u0[2] + woff).astype(jnp.float32)
+                         + 0.5).astype(jnp.int32)
+
+    t_mid_x = _t_at(gx, WZ // 2)
+    t_mid_y = _t_at(gy, WZ // 2)
+    u0[0] = jnp.clip(jnp.min(rel[0] - t_mid_x) - 1 - lo[0],
+                     -(cover[0] - 1), cover[0] - 1)
+    u0[1] = jnp.clip(jnp.min(rel[1] - t_mid_y) - 1 - lo[1],
+                     -(cover[1] - 1), cover[1] - 1)
+
+    # g at the UNSHEARED base candidate o0 = s + u0 + base; per-iteration
+    # offsets add M @ (u + t'_x, v + t'_y, w)
+    o0 = [(s[d] + u0[d] + base[d]).astype(jnp.float32) for d in range(3)]
+    g0 = [m[d][0] * o0[0] + m[d][1] * o0[1] + m[d][2] * o0[2] + m[d][3]
+          for d in range(3)]
+
+    cp.wait()
+    scr = scratch[:]
+    for axis, tcol in ((0, tx_col), (1, ty_col)):
+        r_amt = jnp.remainder(-tcol, cover[axis])
+        bits = max(1, (cover[axis] - 1).bit_length())
+        for b in range(bits):
+            sel = (r_amt & (1 << b)) != 0
+            rolled = pltpu.roll(scr, 1 << b, axis)
+            scr = jnp.where(sel, rolled, scr)
+    for d in range(3):
+        scr = pltpu.roll(scr, jnp.remainder(-u0[d], scr.shape[d]), d)
+
+    vg = [(base[d] + origin[d]).astype(jnp.float32) for d in range(3)]
+    T0 = [vg[d] - g0[d] for d in range(3)]
+    shapes1 = ((TX, 1, 1), (1, TY, 1), (1, 1, TZ))
+    base1 = [jax.lax.broadcasted_iota(jnp.int32, shapes1[d], d)
+             for d in range(3)]
+
+    acc = jnp.zeros((TX, TY, TZ), jnp.float32)
+    for w in range(WZ):
+        tw_x = _t_at(gx, w)
+        tw_y = _t_at(gy, w)
+        tw_xf = tw_x.astype(jnp.float32)
+        tw_yf = tw_y.astype(jnp.float32)
+        # shear correction of g per axis (lane vectors)
+        corr = [m[d][0] * tw_xf + m[d][1] * tw_yf for d in range(3)]
+        okz = ((s[2] + u0[2] + w + base1[2] >= 0)
+               & (s[2] + u0[2] + w + base1[2] < in_dim[2])).astype(jnp.float32)
+        for u in range(WX):
+            okx = ((s[0] + u0[0] + u + base1[0] + tw_x >= 0)
+                   & (s[0] + u0[0] + u + base1[0] + tw_x < in_dim[0])
+                   ).astype(jnp.float32)
+            okxz = okx * okz
+            for v in range(WY):
+                oky = ((s[1] + u0[1] + v + base1[1] + tw_y >= 0)
+                       & (s[1] + u0[1] + v + base1[1] + tw_y < in_dim[1])
+                       ).astype(jnp.float32)
+                wt = okxz * oky
+                for d in range(3):
+                    t = (T0[d] - (m[d][0] * u + m[d][1] * v + m[d][2] * w)
+                         - corr[d])
+                    wd = jnp.maximum(1.0 - jnp.abs(t), 0.0)
+                    gd = vg[d] - t
+                    wd = jnp.where((gd >= -0.5) & (gd <= out_dim[d] - 0.5),
+                                   wd, 0.0)
+                    wt = wt * wd
+                acc = acc + wt * scr[u:u + TX, v:v + TY, w:w + TZ]
+    out_ref[:] = acc
+
+
 # ---------------------------------------------------------------------------
 # Host-side planning
 # ---------------------------------------------------------------------------
@@ -630,6 +740,70 @@ def dyn_span_shear(M, tile):
     sz = (_jnp.abs(M[2, 0]) * tile[0] + _jnp.abs(M[2, 1]) * tile[1]
           + _jnp.abs(_jnp.abs(M[2, 2]) - 1.0) * tile[2])
     return _jnp.stack([sx, sy, sz])
+
+
+def plan_push_shear(in_dim, out_dim, M_nominal, rot_budget: float = 0.05,
+                    slack: float = 0.15, l1_slack: float = 0.2,
+                    max_iters: int = 512):
+    """Plan for the shear push kernel, or None.
+
+    Same anchor-depth accounting as :func:`plan_push` (lo = ceil(L1
+    budget)-1) but the x/y field spans exclude the inverse map's lane terms,
+    which the shear pre-pass removes; the DMA cover carries the full
+    footprint at the rotation budget.
+    """
+    M4 = np.eye(4)
+    M4[:3, :4] = np.asarray(M_nominal, np.float64)[:3, :4]
+    Li = np.linalg.inv(M4)[:3, :3]
+    L1 = np.abs(Li).sum(axis=1)
+    K = [int(math.ceil(L1[d] + l1_slack)) for d in range(3)]
+    lo = tuple(k - 1 for k in K)
+    tile = (min(8, _round_up(out_dim[0], 8)),
+            min(8, _round_up(out_dim[1], 8)),
+            min(128, _round_up(out_dim[2], 128)))
+    TX, TY, TZ = tile
+    shear_sl = 2.5 + rot_budget * (TX + TY)
+    win = []
+    for d in range(2):
+        o = 1 - d
+        sd = (abs(abs(Li[d][d]) - 1.0) * tile[d] + abs(Li[d][o]) * tile[o])
+        win.append(int(math.ceil(sd * (1.0 + slack) + shear_sl
+                                 + 2 * lo[d] + 1)) + 1)
+    sz = (_span(Li, tile, 2) * (1.0 + slack) + 0.5
+          + rot_budget * (TX + TY) + 2 * lo[2] + 1)
+    win.append(int(math.ceil(sz)) + 1)
+    win = tuple(win)
+    if win[0] * win[1] * win[2] > max_iters:
+        return None
+    full = [_span(Li, tile, d) + rot_budget * (TX + TY + TZ) + 2 * lo[d]
+            for d in range(3)]
+    extra = 6
+    pad_z = _round_up(max(in_dim[2], tile[2] + int(math.ceil(full[2])) + 2
+                          + extra), 128)
+    cover = (TX + int(math.ceil(full[0])) + 2 + extra,
+             _round_up(TY + int(math.ceil(full[1])) + 2 + extra, 8) + 8,
+             pad_z)
+    pad_dim = (max(in_dim[0], cover[0]),
+               _round_up(max(in_dim[1], cover[1]), 8), pad_z)
+    tile_bytes = int(np.prod(tile)) * 4
+    vmem_est = 2 * int(np.prod(cover)) * 4 + 12 * tile_bytes
+    if vmem_est > 10 * 1024 * 1024:
+        return None
+    return tile, cover, pad_dim, win, lo
+
+
+def plan_capacity_push_shear(plan):
+    """(tile, win_caps, max_L1, cover_caps) for a shear push plan: exact for
+    dynamic (M, Minv) with SHEARED inverse spans <= win_caps, L1 strictly
+    below lo+1, and full inverse footprint <= cover_caps (x/y)."""
+    tile, cover, pad_dim, win, lo = plan
+    win_caps = (float(win[0] - 1 - (2 * lo[0] + 2)) - 1.5,
+                float(win[1] - 1 - (2 * lo[1] + 2)) - 1.5,
+                float(win[2] - 1 - (2 * lo[2] + 2)) - 0.5)
+    l1_caps = tuple(float(l + 1) for l in lo)
+    cover_caps = (float(cover[0] - tile[0] - 2 * lo[0] - 4),
+                  float(cover[1] - 8 - tile[1] - 2 * lo[1] - 4))
+    return tile, win_caps, l1_caps, cover_caps
 
 
 def plan_capacity_pull(plan):
@@ -853,3 +1027,38 @@ def _pull_shear_call(vol, M, plan, in_dim, out_dim):
 def pallas_pull_shear(vol: Array, M: Array, out_dim, plan) -> Array:
     """Shear-pre-pass trilinear pull; plan from :func:`plan_pull_shear`."""
     return _pull_shear_call(vol, M, plan, tuple(vol.shape), tuple(out_dim))
+
+
+@functools.partial(jax.jit, static_argnames=("plan", "in_dim", "out_dim"))
+def _push_shear_call(vals, M, Minv, plan, in_dim, out_dim):
+    tile, cover, pad_dim, win, lo = plan
+    valsp = _pad_to(vals, pad_dim)
+    grid = tuple(pl.cdiv(out_dim[d], tile[d]) for d in range(3))
+    kernel = functools.partial(_push_shear_kernel, tile, cover, win, lo,
+                               in_dim, pad_dim, out_dim)
+
+    def body(m_ref, vol_ref, out_ref, scratch, sem):
+        kernel((m_ref, vol_ref, out_ref, scratch, sem))
+
+    scal = jnp.concatenate([M.reshape(-1), Minv.reshape(-1)])
+    return pl.pallas_call(
+        body,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            out_specs=pl.BlockSpec(tile, lambda i, j, k, sc: (i, j, k),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM(cover, jnp.float32),
+                            pltpu.SemaphoreType.DMA(())],
+        ),
+        out_shape=jax.ShapeDtypeStruct(out_dim, jnp.float32),
+        compiler_params=_COMPILER_PARAMS,
+    )(scal, valsp)
+
+
+def pallas_push_shear(vals: Array, M: Array, Minv: Array, vol_dim,
+                      plan) -> Array:
+    """Shear-pre-pass push (exact pull adjoint); plan from plan_push_shear."""
+    return _push_shear_call(vals, M, Minv, plan, tuple(vals.shape),
+                            tuple(vol_dim))

@@ -589,13 +589,18 @@ def plan_signature(x, sett, state_q) -> tuple:
     chunk ONLY when this signature changes: re-planning from a drifted pose
     that lands on the same window sizes would re-trace a multi-minute graph
     for an identical program (the round-2 bench crashed by stacking
-    per-chunk re-traced executables in device memory).
+    per-chunk re-traced executables in device memory). Mirrors the plan
+    selection of models.forward.make_resample_suite (incl. shear plans).
     """
+    import os as _os
+
     from ..models.forward import _use_pallas
-    from ..ops.pallas_resample import plan_pull, plan_push
+    from ..ops.pallas_resample import (plan_pull, plan_pull_shear, plan_push,
+                                      plan_push_shear)
 
     if not _use_pallas():
         return ("xla",)
+    use_shear = _os.environ.get("UNIRES_TPU_SHEAR", "1") not in ("0", "")
     method = sett.method
     sigs = []
     maps = _obs_maps_np(x, sett, state_q)
@@ -605,8 +610,11 @@ def plan_signature(x, sett, state_q) -> tuple:
             po = o.po
             src_dim = po.dim_yx if method == "super-resolution" else po.dim_x
             M, _ = maps[i]
-            sigs.append((plan_pull(po.dim_y, src_dim, M),
-                         plan_push(src_dim, po.dim_y, M)))
+            splan = plan_pull_shear(po.dim_y, src_dim, M) if use_shear else None
+            psplan = plan_push_shear(src_dim, po.dim_y, M) if use_shear else None
+            fplan = plan_pull(po.dim_y, src_dim, M)
+            pplan = plan_push(src_dim, po.dim_y, M) if psplan is None else None
+            sigs.append((splan, psplan, fplan, pplan))
             i += 1
     return tuple(sigs)
 
@@ -621,7 +629,10 @@ def replan_margins(x, sett, state_q, plans=None) -> float:
     use, not freshly re-derived ones.
     """
     from ..models.forward import _use_pallas
-    from ..ops.pallas_resample import plan_capacity_pull, plan_capacity_push
+    from ..ops.pallas_resample import (plan_capacity_pull,
+                                      plan_capacity_pull_shear,
+                                      plan_capacity_push,
+                                      plan_capacity_push_shear)
 
     if not _use_pallas():
         return np.inf
@@ -640,14 +651,36 @@ def replan_margins(x, sett, state_q, plans=None) -> float:
             out.append(sd)
         return np.asarray(out)
 
+    def span_shear_np(M, tile):
+        sx = abs(abs(M[0, 0]) - 1.0) * tile[0] + abs(M[0, 1]) * tile[1]
+        sy = abs(M[1, 0]) * tile[0] + abs(abs(M[1, 1]) - 1.0) * tile[1]
+        sz = (abs(M[2, 0]) * tile[0] + abs(M[2, 1]) * tile[1]
+              + abs(abs(M[2, 2]) - 1.0) * tile[2])
+        return np.asarray([sx, sy, sz])
+
     worst = np.inf
     maps = _obs_maps_np(x, sett, state_q)
-    for i, (fp, pp) in enumerate(plans):
+    for i, (sp, psp, fp, pp) in enumerate(plans):
         M, Minv = maps[i]
+        if sp is not None:
+            tile, wcap, ccap = plan_capacity_pull_shear(sp)
+            worst = min(worst, float(
+                (np.asarray(wcap) - span_shear_np(M, tile)).min()))
+            worst = min(worst, float(
+                (np.asarray(ccap) - span_np(M, tile)[:2]).min()))
         if fp is not None:
             tile, cap = plan_capacity_pull(fp)
             worst = min(worst, float(
                 (np.asarray(cap) - span_np(M, tile)).min()))
+        if psp is not None:
+            tile, wcap, l1cap, ccap = plan_capacity_push_shear(psp)
+            worst = min(worst, float(
+                (np.asarray(wcap) - span_shear_np(Minv, tile)).min()))
+            l1 = np.abs(Minv[:, :3]).sum(axis=1)
+            worst = min(worst, float(
+                (np.asarray(l1cap) - 1e-4 - l1).min()))
+            worst = min(worst, float(
+                (np.asarray(ccap) - span_np(Minv, tile)[:2]).min()))
         if pp is not None:
             tile, cap, l1cap = plan_capacity_push(pp)
             worst = min(worst, float(
