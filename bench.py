@@ -82,6 +82,47 @@ def main():
     t_fit = time.time() - t0
     sec_per_iter = t_fit / max(n_iter, 1)
 
+    # perf split: steady-state s/iter vs per-process startup (trace +
+    # executable load land in the first chunk's wall time)
+    ct = getattr(fit_solver, "chunk_times", [])
+    steady_iters = sum(k for k, _ in ct[1:])
+    steady_s = sum(dt for _, dt in ct[1:])
+    steady_per_iter = steady_s / steady_iters if steady_iters else None
+    startup_s = (ct[0][1] - ct[0][0] * steady_per_iter
+                 if ct and steady_per_iter else None)
+
+    # per-kernel timings + achieved HBM bandwidth (bytes moved / time);
+    # inputs VARY per call (the axon terminal result-caches identical
+    # executions) and each kernel is taken from the production suites
+    kernels = {}
+    try:
+        from unires_tpu.models.forward import make_obs_suite, obs_dyn_args
+
+        po0 = x[0][0].po
+        suite = make_obs_suite(po0, sett.method)
+        M0, Minv0 = obs_dyn_args(po0, sett.method)
+        vol_y = jnp.asarray(y[0].dat)
+        vol_yx = suite["pull"](vol_y, M0)
+        for name, fn, out_elems in (
+                ("pull", lambda v: suite["pull"](v, M0), np.prod(po0.dim_yx)),
+                ("push", lambda v: suite["push"](
+                    vol_yx + 1e-6 * jnp.mean(v), M0, Minv0),
+                 np.prod(po0.dim_y)),
+                ("pull_grad", lambda v: suite["pull_grad"](v, M0),
+                 3 * np.prod(po0.dim_yx))):
+            ts = []
+            for i in range(5):
+                vi = vol_y + jnp.float32(1e-6 * (i + 1))
+                t1 = time.time()
+                jax.block_until_ready(fn(vi))
+                ts.append(time.time() - t1)
+            dt = min(ts)
+            bytes_moved = 4.0 * (np.prod(po0.dim_y) + float(out_elems))
+            kernels[name] = {"ms": round(dt * 1e3, 2),
+                             "gbps": round(bytes_moved / dt / 1e9, 1)}
+    except Exception as e:  # pragma: no cover - bench-only diagnostics
+        kernels = {"error": str(e)}
+
     # quality: PSNR / MSE of channel 0 vs ground truth on the recon grid
     rec = np.asarray(y[0].dat)
     mse = float(np.mean((rec[msk] - gt_on_y[msk]) ** 2))
@@ -103,6 +144,10 @@ def main():
         "sr_vs_trilinear": round(mse / max(mse_tri, 1e-12), 4),
         "nll_first": float(obj[0, 0]) if len(obj) else None,
         "nll_last": float(obj[-1, 0]) if len(obj) else None,
+        "steady_sec_per_iter": (round(steady_per_iter, 4)
+                                if steady_per_iter else None),
+        "startup_s": round(startup_s, 2) if startup_s else None,
+        "kernels": kernels,
     }
     print(json.dumps(result))
 

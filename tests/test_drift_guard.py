@@ -93,3 +93,53 @@ def test_host_margin_mirror_matches_device():
     M, Minv = _maps(po, R)
     dev_m = float(np.asarray(suite["margin"](M, Minv)).min())
     assert abs(host_m - dev_m) < 1e-3, (host_m, dev_m)
+
+
+def test_veto_saturation_escalates_budget_and_converges(capsys):
+    """A true pose BEYOND the Pallas plan budget (~+-0.05 rad + cover slack)
+    is reached via the self-healing path: the device counts capacity-vetoed
+    line-search candidates, the host observes saturation in consecutive
+    chunks, widens every window plan (extra_budget) and rebuilds — visible
+    as a re-plan log line — and the GN then walks to the true pose (round-2
+    VERDICT item 4: saturation used to be silent and permanent).
+
+    Runs the REAL Pallas kernels under interpret mode on a small problem.
+    """
+    from jax.experimental.pallas import tpu as pltpu
+
+    from phantoms import blob_phantom, degrade
+    from unires_tpu import Settings, init
+    from unires_tpu.geometry import affine_basis, expm
+    from unires_tpu.pipeline.fit import fit as fit_solver
+
+    # rotation about X: couples the z (lane, 128-wide) tile axis into y, so
+    # the DMA-cover capacity actually binds (a lane-axis rotation only mixes
+    # the two 8-wide tile axes and stays within any budget)
+    rot = 0.09
+    rp = [0.6, -0.4, 0.2, rot, 0.0, 0.0]
+    true_R = affine_matrix_classic(rp)
+    gt = blob_phantom(dim=(24, 24, 25), amplitude=1000.0, seed=3)
+    x0, m0, _ = degrade(gt, thick_axis=2, thick=4.0, noise_sd=5.0, seed=3)
+    x1, m1, _ = degrade(gt, thick_axis=1, thick=4.0, noise_sd=5.0, seed=4,
+                        rigid_params=rp)
+    sett = Settings(vx=1.0, do_coreg=False, do_print=1, sched_num=0,
+                    reg_scl=4.0, write_out=False, tolerance=1e-4,
+                    max_iter=24, unified_rigid=True, chunk_iters=4)
+    os.environ["UNIRES_TPU_BACKEND"] = "pallas"
+    try:
+        x, y, sett = init([[[x0, m0], [x1, m1]]], sett)
+        with pltpu.force_tpu_interpret_mode():
+            fit_solver(x, y, sett)
+    finally:
+        os.environ.pop("UNIRES_TPU_BACKEND", None)
+    out = capsys.readouterr().out
+    assert "capacity-vetoed rigid candidate" in out
+    assert "re-planning resampling windows" in out
+    R0 = expm(x[0][0].rigid_q, affine_basis("SE"))
+    R1 = expm(x[0][1].rigid_q, affine_basis("SE"))
+    rel = R1 @ np.linalg.inv(R0)
+    cosang = (np.trace(rel[:3, :3]) - 1.0) / 2.0
+    got_rot = float(np.arccos(np.clip(cosang, -1, 1)))
+    # must have crossed the original budget edge and approach the truth
+    assert got_rot > 0.065, got_rot
+    assert np.abs(rel[:3, :3] - true_R[:3, :3]).max() < 0.02, rel

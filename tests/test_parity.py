@@ -57,3 +57,86 @@ def test_sr_beats_trilinear_demo_protocol():
     bad = [i for i in range(1, len(post))
            if i not in steps and post[i] > post[i - 1] * (1 + 1e-3)]
     assert not bad, (bad, post)
+
+
+def test_rho_formula_matches_reference_anchor_c3():
+    """Reference-derived determinism anchor (round-2 VERDICT item 6).
+
+    The committed demo_multi_channel.ipynb run (BASELINE.md) prints the
+    estimated hyper-parameters tau = (4.158e-4, 2.509e-4, 1.596e-4) and
+    mu = (405.7, 1959, 4278) and the resulting ADMM step size rho = 0.8398.
+    Feeding the SAME tau/mu through THIS implementation's lam0 formula
+    (pipeline.format_y:112, reference _core.py:273-280), lambda schedule
+    (reference _core.py:288-307, start 32 for sched_num=3 reg_scl=4) and
+    step-size formula (solvers.admm.step_size, reference _update.py:35-64)
+    must reproduce the reference's number — this pins the formula chain to
+    the reference implementation, not to this repo itself.
+    """
+    import math
+    import types
+
+    from unires_tpu.pipeline.fit import get_sched
+    from unires_tpu.solvers.admm import step_size
+
+    taus = [4.158e-4, 2.509e-4, 1.596e-4]
+    mus = [405.7, 1959.0, 4278.0]
+    C = len(taus)
+    x = [[types.SimpleNamespace(tau=t, mu=m, ct=False)]
+         for t, m in zip(taus, mus)]
+    y = [types.SimpleNamespace(lam0=math.sqrt(1.0 / C) / m, lam=None)
+         for m in mus]
+    sett = Settings(reg_scl=4.0, sched_num=3, rho=None, rho_scl=1.0)
+    sett = get_sched(N=C, sett=sett)
+    sched0 = float(np.atleast_1d(sett.reg_scl)[0])
+    assert sched0 == 32.0  # descending powers of two ending at 4
+    for yc in y:
+        yc.lam = sched0 * yc.lam0
+    rho = step_size(x, y, sett)
+    assert abs(rho - 0.8398) < 2e-3, rho
+
+
+def test_rho_formula_matches_reference_anchor_c1():
+    """Single-channel anchor: demo_single_channel.ipynb prints rho = 2.0891
+    (tau from sd = 49.04, mu ~ 406-410, single-entry schedule [4] since
+    sched_num is forced to 0 for one observation)."""
+    import math
+    import types
+
+    from unires_tpu.pipeline.fit import get_sched
+    from unires_tpu.solvers.admm import step_size
+
+    sd = 49.04
+    tau = 1.0 / sd ** 2
+    mu = 405.7
+    x = [[types.SimpleNamespace(tau=tau, mu=mu, ct=False)]]
+    y = [types.SimpleNamespace(lam0=1.0 / mu, lam=None)]
+    sett = Settings(reg_scl=4.0, sched_num=3, rho=None, rho_scl=1.0)
+    sett = get_sched(N=1, sett=sett)  # N=1 forces sched_num=0 -> [4.0]
+    assert np.atleast_1d(sett.reg_scl).size == 1
+    y[0].lam = float(np.atleast_1d(sett.reg_scl)[0]) * y[0].lam0
+    rho = step_size(x, y, sett)
+    # the notebook's exact mu for this run is not printed; 2% tolerance
+    assert abs(rho - 2.0891) / 2.0891 < 0.02, rho
+
+
+def test_tau_estimation_on_sigma_known_synthetic():
+    """BASELINE determinism anchor: tau = 1/sd^2 recovered within a few %
+    on a synthetic volume with KNOWN noise sd (the reference estimates
+    sd 49.04 -> tau 4.158e-4 on its fixture; here the truth is constructed)."""
+    from unires_tpu.pipeline.hyperpar import estimate_noise
+
+    rng = np.random.default_rng(0)
+    gt = blob_phantom(dim=(64, 64, 64), n_blobs=12, amplitude=3000.0, seed=1)
+    # two well-separated intensity classes (the model the estimator fits);
+    # the positive pedestal keeps the background class un-truncated (the
+    # pipeline's dat >= 0 mask half-truncates zero-mean background noise,
+    # which biases ANY estimator — the reference's included: its demo adds
+    # sigma=75 and estimates sd 49.04 on magnitude-like data)
+    sd_true = 75.0
+    fg = np.where(gt > 500.0, 3000.0, 0.0).astype(np.float32)
+    dat = 500.0 + fg + sd_true * rng.standard_normal(fg.shape).astype(
+        np.float32)
+    sd, _, _, _ = estimate_noise(jnp.asarray(dat))
+    assert abs(sd - sd_true) / sd_true < 0.05, sd
+    tau = 1.0 / sd ** 2
+    assert abs(tau - 1.0 / sd_true ** 2) / (1.0 / sd_true ** 2) < 0.1

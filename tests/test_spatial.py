@@ -97,3 +97,73 @@ def test_spatial_step_matches_unsharded_denoising():
     assert np.allclose(np.asarray(w1), np.asarray(w2), atol=2e-2)
     assert np.allclose(np.asarray(obj, np.float64),
                        np.asarray(obj2, np.float64), rtol=1e-2)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+@pytest.mark.parametrize("thick_axis", [0, 2])
+def test_spatial_step_matches_unsharded_sr(thick_axis):
+    """8-way slab-sharded SUPER-RESOLUTION step == unsharded solver, with
+    the thick (blurred+decimated) axis both ON the slab axis (halo
+    convolution + slab-consistent decimation) and off it (round-2 VERDICT
+    missing item 3). Rotated geometry exercises the resampling halos."""
+    from unires_tpu.geometry import affine_diag
+    from unires_tpu.parallel.spatial import (make_spatial_admm_step_sr,
+                                             sr_halo_bounds)
+
+    C = 2
+    dim_y = [64, 12, 13]
+    dim_x = list(dim_y)
+    vx = [1.0, 1.0, 1.0]
+    dim_x[thick_axis] = dim_y[thick_axis] // 4 if thick_axis == 0 else 4
+    vx[thick_axis] = 4.0
+    dim_y, dim_x = tuple(dim_y), tuple(dim_x)
+    rigid = affine_matrix_classic([0.8, -0.5, 0.3, 0.004, -0.003, 0.005])
+    po = proj_info(dim_y, np.eye(4), dim_x, affine_diag(vx), rigid=rigid,
+                   prof_ip=2, prof_tp=0, scl=0.07)
+    sett = Settings(do_print=0, cgs_max_iter=60, cgs_tol=1e-6, vx=1.0)
+    sett.method = "super-resolution"
+    sett.do_proj = True
+    mesh = build_spatial_mesh(8)
+    H, H2 = sr_halo_bounds(po, 8)
+    assert H <= dim_y[0] // 8
+
+    rng = np.random.default_rng(2)
+    gt = rng.random((C,) + dim_y, dtype=np.float32) * 100
+    M, Minv = obs_dyn_args(po, "super-resolution")
+    A, At, AtA = make_obs_ops(po, "super-resolution")
+    scl = jnp.asarray([0.07, -0.04], jnp.float32)
+    xdat = jnp.stack([A(jnp.asarray(gt[c]), M, Minv, scl[c])
+                      for c in range(C)])
+    ys0 = jnp.asarray(gt * 0.6)
+    z0 = jnp.zeros((C, 3) + dim_y, jnp.float32)
+    w0 = 0.03 * jnp.ones((C, 3) + dim_y, jnp.float32)
+    tau = jnp.asarray([0.7, 1.1], jnp.float32)
+    lam = jnp.asarray([0.2, 0.15], jnp.float32)
+    rho = jnp.float32(1.1)
+
+    step = make_spatial_admm_step_sr(po, sett, mesh)
+    ys_s, z_s, w_s, xd_s = shard_spatial(mesh, ys0, z0, w0, xdat)
+    ys1, z1, w1, obj = step(ys_s, z_s, w_s, xd_s, M, Minv, scl, tau, lam,
+                            rho)
+
+    x_struct = [[types.SimpleNamespace(po=po, tau=float(tau[c]), ct=False)]
+                for c in range(C)]
+    y_struct = [types.SimpleNamespace(dat=None, dim=dim_y, mat=np.eye(4),
+                                      lam=float(lam[c]), lam0=float(lam[c]))
+                for c in range(C)]
+    ref = make_admm_step(x_struct, y_struct, sett)
+    ys2, z2, w2, jtv2, obj2 = ref(
+        ys0, z0, w0,
+        tuple((xdat[c],) for c in range(C)),
+        tuple(((M),) for _ in range(C)), tuple(((Minv),) for _ in range(C)),
+        tuple((scl[c],) for c in range(C)),
+        tuple((tau[c],) for c in range(C)), lam, rho)
+
+    scale = float(jnp.abs(ys2).max())
+    assert np.allclose(np.asarray(ys1), np.asarray(ys2),
+                       atol=5e-3 * scale), \
+        np.abs(np.asarray(ys1) - np.asarray(ys2)).max() / scale
+    assert np.allclose(np.asarray(z1), np.asarray(z2), atol=2e-2)
+    assert np.allclose(np.asarray(w1), np.asarray(w2), atol=2e-2)
+    assert np.allclose(np.asarray(obj, np.float64),
+                       np.asarray(obj2, np.float64), rtol=1e-2)

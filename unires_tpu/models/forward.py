@@ -27,8 +27,9 @@ import numpy as np
 from ..ops.conv import blur_down_sep, blur_up_sep
 from ..ops.pallas_resample import (dyn_l1, dyn_span, dyn_span_shear,
                                    pallas_pull, pallas_pull_grad,
-                                   pallas_pull_shear, pallas_push,
-                                   pallas_push_shear, plan_capacity_pull,
+                                   pallas_pull_grad_shear, pallas_pull_shear,
+                                   pallas_push, pallas_push_shear,
+                                   plan_capacity_pull,
                                    plan_capacity_pull_shear,
                                    plan_capacity_push,
                                    plan_capacity_push_shear, plan_pull,
@@ -66,7 +67,8 @@ def make_resample_ops(po: ProjOp, method: Method, rigid=None):
     return suite["pull"], suite["push"]
 
 
-def make_resample_suite(po: ProjOp, method: Method, rigid=None) -> dict:
+def make_resample_suite(po: ProjOp, method: Method, rigid=None,
+                        extra_budget: float = 0.0) -> dict:
     """Resampling ops + validity guard for one observation's geometry.
 
     Returns a dict with:
@@ -84,17 +86,26 @@ def make_resample_suite(po: ProjOp, method: Method, rigid=None) -> dict:
     M_nom = po.M_sr(rigid) if method == "super-resolution" else po.M_den(rigid)
 
     use_shear = os.environ.get("UNIRES_TPU_SHEAR", "1") not in ("0", "")
+    eb = float(extra_budget)  # radians; the fit loop escalates on saturation
     pplan = fplan = splan = psplan = None
     if _use_pallas():
         if use_shear:
-            splan = plan_pull_shear(dim_y, src_dim, M_nom)
-            psplan = plan_push_shear(src_dim, dim_y, M_nom)
-        # the plain plan stays even when shear handles pull: pull_grad has
-        # no shear variant yet (round-3), and it must NOT fall back to XLA
-        # gathers (~400 ms/call at volume scale)
-        fplan = plan_pull(dim_y, src_dim, M_nom)
+            splan = plan_pull_shear(dim_y, src_dim, M_nom,
+                                    rot_budget=0.05 + eb)
+            psplan = plan_push_shear(src_dim, dim_y, M_nom,
+                                     rot_budget=0.05 + eb,
+                                     l1_slack=0.2 + 2.0 * eb)
+        # the plain plans are only built when shear is off/unplannable: the
+        # shear plan drives pull, pull_grad AND (via psplan) push, so the
+        # pose budget is the DMA cover (~+-0.05 rad) everywhere (the round-2
+        # plain-plan pull_grad pinned it to ~+-0.03 rad — VERDICT item 7)
+        if splan is None:
+            fplan = plan_pull(dim_y, src_dim, M_nom,
+                              abs_slack=4.0 + 136.0 * eb)
         if psplan is None:
-            pplan = plan_push(src_dim, dim_y, M_nom)
+            pplan = plan_push(src_dim, dim_y, M_nom,
+                              abs_slack=4.0 + 136.0 * eb,
+                              l1_slack=0.2 + 2.0 * eb)
 
     checks = []  # callables M, Minv -> (3,) headroom (span units)
 
@@ -115,16 +126,6 @@ def make_resample_suite(po: ProjOp, method: Method, rigid=None) -> dict:
                 [hc, jnp.full((1,), jnp.float32(_BIG_HEAD))]))
 
         checks.append(_pull_headroom)
-        if fplan is not None:
-            # pull_grad still runs on the plain plan: keep its capacity in
-            # the pose budget until the shear pull_grad variant lands
-            fg_tile, fg_cap = plan_capacity_pull(fplan)
-            fg_capj = jnp.asarray(fg_cap, jnp.float32)
-
-            def _pull_grad_headroom(M, Minv, tile=fg_tile, cap=fg_capj):
-                return cap - dyn_span(M, tile)
-
-            checks.append(_pull_grad_headroom)
     elif fplan is not None:
         def pull_fn(dat, M):
             return pallas_pull(dat, M, src_dim, fplan)
@@ -175,7 +176,7 @@ def make_resample_suite(po: ProjOp, method: Method, rigid=None) -> dict:
 
         checks.append(_push_headroom)
     else:
-        window = push_window(M_nom)
+        window = push_window(M_nom, extra=2.0 * eb)
 
         def push_fn(dat, M, Minv):
             return push(dat, M, dim_y, Minv=Minv, window=window)
@@ -188,7 +189,10 @@ def make_resample_suite(po: ProjOp, method: Method, rigid=None) -> dict:
 
         checks.append(_push_headroom)
 
-    if fplan is not None:
+    if splan is not None:
+        def pull_grad_fn(dat, M):
+            return pallas_pull_grad_shear(dat, M, src_dim, splan)
+    elif fplan is not None:
         def pull_grad_fn(dat, M):
             return pallas_pull_grad(dat, M, src_dim, fplan)
     else:
@@ -212,7 +216,8 @@ def make_resample_suite(po: ProjOp, method: Method, rigid=None) -> dict:
 _BIG_HEAD = 1e6  # "unlimited" headroom sentinel (span units)
 
 
-def make_obs_suite(po: ProjOp, method: Method, rigid=None) -> dict:
+def make_obs_suite(po: ProjOp, method: Method, rigid=None,
+                   extra_budget: float = 0.0) -> dict:
     """Everything the solvers need for one observation, as a dict.
 
     Extends :func:`make_resample_suite` with the full projection chains
@@ -220,7 +225,7 @@ def make_obs_suite(po: ProjOp, method: Method, rigid=None) -> dict:
     scaling-free forward chain pull+blur used by the even/odd scaling GN
     update (reference unires/_update.py:312-318).
     """
-    rs = make_resample_suite(po, method, rigid)
+    rs = make_resample_suite(po, method, rigid, extra_budget=extra_budget)
     pull_fn, push_fn = rs["pull"], rs["push"]
     if method == "denoising":
         def A(dat, M, Minv, scl):

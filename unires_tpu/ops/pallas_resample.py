@@ -61,6 +61,27 @@ _BIG = 1 << 20  # python int: jnp scalars would be captured as kernel consts
 _COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
 
+def _win_rolled() -> bool:
+    """Whether the x-window loops stay ROLLED (trace-time knob).
+
+    Mosaic lowers fori_loop only fully-rolled or fully-unrolled. Unrolled
+    (default) is ~25% faster per kernel; rolled cuts trace time and kernel
+    code size — useful when executables must stay small. The round-2
+    executable-size problem turned out to live in the FFT preconditioner
+    (see solvers.admm.dct_matrices), so speed wins by default.
+    Env: UNIRES_TPU_WINDOW_ROLLED=1 to roll.
+    """
+    import os
+
+    return os.environ.get("UNIRES_TPU_WINDOW_ROLLED", "0") not in ("0", "")
+
+
+def _fori_win(n, body, init):
+    """fori_loop over the x window, rolled or fully unrolled (_win_rolled)."""
+    return jax.lax.fori_loop(0, n, body, init,
+                             unroll=1 if _win_rolled() else n)
+
+
 def _round_up(x, m):
     return int(-(-x // m) * m)
 
@@ -85,12 +106,14 @@ def _axis_weight(rel, u0, f, u, src_idx=None, dim=None):
     1-f) for elements with rel-u0 == u and corner i0+1 (weight f) for
     elements with rel-u0 == u-1. ``src_idx``/``dim`` apply the zero bound:
     out-of-range corners contribute 0 (reference extrapolate=False +
-    bound='zero', unires/_project.py:162-164).
+    bound='zero', unires/_project.py:162-164). ``u`` may be a Python int OR
+    a traced scalar (the kernels roll their x-window loops as fori_loops to
+    keep the unrolled code — and with it trace time and executable size —
+    bounded; the u >= 1 guard is branchless for that reason).
     """
     du = rel - u0
     w = jnp.where(du == u, 1.0 - f, 0.0)
-    if u >= 1:
-        w = jnp.where(du == u - 1, f, w)
+    w = jnp.where((du == u - 1) & (u >= 1), f, w)
     if src_idx is not None:
         w = jnp.where((src_idx >= 0) & (src_idx < dim), w, 0.0)
     return w
@@ -173,25 +196,33 @@ def _pull_kernel(tile, cover, win, in_dim, pad_dim, kernel_refs):
     cp.wait()
     # Modular rolls by the anchors: every nonzero-weight fetch has its true
     # source inside the block, so roll wrap-around only ever feeds
-    # zero-weighted elements. Static slab slices after the rolls.
+    # zero-weighted elements. The rolled block goes BACK to the scratch ref
+    # so the x window can be a rolled (fori_loop) loop with dynamic-offset
+    # VMEM reads — fully unrolling all three window loops made trace time
+    # and executable size proportional to WX*WY*WZ (the round-2 fit chunk
+    # serialized to ~96 MB and cost ~45 s/process to load).
     scr = scratch[:]
     for d in range(3):
         # non-negative shifts only: hardware dynamic_rotate mishandles
         # negative shifts on the non-lane axes (verified on v5e)
         scr = pltpu.roll(scr, jnp.remainder(-u0[d], scr.shape[d]), d)
+    scratch[:] = scr
 
-    acc = jnp.zeros((TX, TY, TZ), jnp.float32)
-    for u in range(WX):
+    def u_body(u, acc):
         wx = _axis_weight(rel[0], u0[0], frac[0], u, su[0] + u + base[0],
                           in_dim[0])
         for v in range(WY):
             wy = _axis_weight(rel[1], u0[1], frac[1], v, su[1] + v + base[1],
                               in_dim[1])
-            slab = scr[u:u + TX, v:v + TY, :]
+            slab = scratch[pl.ds(u, TX), v:v + TY, :]
             tmp = jnp.zeros((TX, TY, TZ), jnp.float32)
             for w in range(WZ):
                 tmp = tmp + wzs[w] * slab[:, :, w:w + TZ]
             acc = acc + (wx * wy) * tmp
+        return acc
+
+    acc = _fori_win(WX, u_body,
+                            jnp.zeros((TX, TY, TZ), jnp.float32))
     out_ref[:] = acc
 
 
@@ -204,8 +235,7 @@ def _axis_weight_grad(rel, u0, u, src_idx=None, dim=None):
     """
     du = rel - u0
     w = jnp.where(du == u, -1.0, 0.0)
-    if u >= 1:
-        w = jnp.where(du == u - 1, 1.0, w)
+    w = jnp.where((du == u - 1) & (u >= 1), 1.0, w)
     if src_idx is not None:
         w = jnp.where((src_idx >= 0) & (src_idx < dim), w, 0.0)
     return w
@@ -264,11 +294,10 @@ def _pull_grad_kernel(tile, cover, win, in_dim, pad_dim, kernel_refs):
     scr = scratch[:]
     for d in range(3):
         scr = pltpu.roll(scr, jnp.remainder(-u0[d], scr.shape[d]), d)
+    scratch[:] = scr
 
-    accx = jnp.zeros((TX, TY, TZ), jnp.float32)
-    accy = jnp.zeros((TX, TY, TZ), jnp.float32)
-    accz = jnp.zeros((TX, TY, TZ), jnp.float32)
-    for u in range(WX):
+    def u_body(u, accs):
+        accx, accy, accz = accs
         wx = _axis_weight(rel[0], u0[0], frac[0], u, su[0] + u + base[0],
                           in_dim[0])
         dx = _axis_weight_grad(rel[0], u0[0], u, su[0] + u + base[0],
@@ -278,7 +307,7 @@ def _pull_grad_kernel(tile, cover, win, in_dim, pad_dim, kernel_refs):
                               in_dim[1])
             dy = _axis_weight_grad(rel[1], u0[1], v, su[1] + v + base[1],
                                    in_dim[1])
-            slab = scr[u:u + TX, v:v + TY, :]
+            slab = scratch[pl.ds(u, TX), v:v + TY, :]
             tmp = jnp.zeros((TX, TY, TZ), jnp.float32)
             tmpd = jnp.zeros((TX, TY, TZ), jnp.float32)
             for w in range(WZ):
@@ -288,6 +317,10 @@ def _pull_grad_kernel(tile, cover, win, in_dim, pad_dim, kernel_refs):
             accx = accx + (dx * wy) * tmp
             accy = accy + (wx * dy) * tmp
             accz = accz + (wx * wy) * tmpd
+        return accx, accy, accz
+
+    zero = jnp.zeros((TX, TY, TZ), jnp.float32)
+    accx, accy, accz = _fori_win(WX, u_body, (zero, zero, zero))
     gx_ref[:] = accx
     gy_ref[:] = accy
     gz_ref[:] = accz
@@ -379,6 +412,7 @@ def _pull_shear_kernel(tile, cover, win, in_dim, pad_dim, kernel_refs):
             scr = jnp.where(sel, rolled, scr)
     for d in range(3):
         scr = pltpu.roll(scr, jnp.remainder(-u0[d], scr.shape[d]), d)
+    scratch[:] = scr
 
     fovf = fov.astype(jnp.float32)
     acc = jnp.zeros((TX, TY, TZ), jnp.float32)
@@ -392,14 +426,132 @@ def _pull_shear_kernel(tile, cover, win, in_dim, pad_dim, kernel_refs):
         wys = [_axis_weight(rely_w, u0[1], frac[1], v,
                             s[1] + u0[1] + v + base[1] + tw_y, in_dim[1])
                for v in range(WY)]
-        for u in range(WX):
+
+        def u_body(u, acc, w=w, wz=wz, tw_x=tw_x, relx_w=relx_w, wys=wys):
             wx = _axis_weight(relx_w, u0[0], frac[0], u,
                               s[0] + u0[0] + u + base[0] + tw_x, in_dim[0])
             wxz = wx * wz
             for v in range(WY):
-                slab = scr[u:u + TX, v:v + TY, w:w + TZ]
+                slab = scratch[pl.ds(u, TX), v:v + TY, w:w + TZ]
                 acc = acc + (wxz * wys[v]) * slab
+            return acc
+
+        acc = _fori_win(WX, u_body, acc)
     out_ref[:] = acc
+
+
+def _pull_grad_shear_kernel(tile, cover, win, in_dim, pad_dim, kernel_refs):
+    """pull_grad with the per-lane shear pre-pass (see _pull_shear_kernel).
+
+    Emits d(pulled)/d(g_d) for the three axes with the SAME
+    rotation-independent windows as the shear pull: the integer shear shifts
+    t_d(c) are locally constant in g, so the derivative flows only through
+    the fractional hat weights — per axis the value weight is swapped for
+    its derivative (round-2 VERDICT missing item 6: the plain-plan pull_grad
+    pinned the whole pose budget to its budget windows).
+    """
+    m_ref, vol_ref, gx_ref, gy_ref, gz_ref, scratch, sem = kernel_refs
+    TX, TY, TZ = tile
+    WX, WY, WZ = win
+
+    m = [[m_ref[4 * d + c] for c in range(4)] for d in range(3)]
+    origin = [pl.program_id(i) * tile[i] for i in range(3)]
+    of = [jnp.float32(o) for o in origin]
+
+    mins = _corner_min(m, of, tile)
+    s, cp = _anchor_dma(mins, (0, 0, 0), pad_dim, cover, vol_ref, scratch, sem)
+
+    base = [
+        jax.lax.broadcasted_iota(jnp.int32, (TX, TY, TZ), d) for d in range(3)
+    ]
+    ii = base[0].astype(jnp.float32) + of[0]
+    jj = base[1].astype(jnp.float32) + of[1]
+    kk = base[2].astype(jnp.float32) + of[2]
+    g = [m[d][0] * ii + m[d][1] * jj + m[d][2] * kk + m[d][3] for d in range(3)]
+    fov = ((g[0] >= -0.5) & (g[0] <= in_dim[0] - 0.5)
+           & (g[1] >= -0.5) & (g[1] <= in_dim[1] - 0.5)
+           & (g[2] >= -0.5) & (g[2] <= in_dim[2] - 0.5))
+
+    rel, frac, u0 = [], [], []
+    for d in range(3):
+        l = g[d] - s[d].astype(jnp.float32)
+        i0 = jnp.floor(l)
+        frac.append(l - i0)
+        r = i0.astype(jnp.int32) - base[d]
+        rel.append(r)
+        u0.append(None)
+    u0[2] = jnp.clip(_masked_min(rel[2], fov), -(cover[2] - 1), cover[2] - 1)
+
+    gx, gy = m[0][2], m[1][2]
+    cvec = jax.lax.broadcasted_iota(jnp.int32, (1, 1, cover[2]), 2)
+    tx_col = jnp.floor(gx * cvec.astype(jnp.float32) + 0.5).astype(jnp.int32)
+    ty_col = jnp.floor(gy * cvec.astype(jnp.float32) + 0.5).astype(jnp.int32)
+    kl = jax.lax.broadcasted_iota(jnp.int32, (1, 1, TZ), 2)
+
+    def _t_at(gamma, woff):
+        return jnp.floor(gamma * (kl + u0[2] + woff).astype(jnp.float32)
+                         + 0.5).astype(jnp.int32)
+
+    t_mid_x = _t_at(gx, WZ // 2)
+    t_mid_y = _t_at(gy, WZ // 2)
+    u0[0] = jnp.clip(_masked_min(rel[0] - t_mid_x, fov) - 1,
+                     -(cover[0] - 1), cover[0] - 1)
+    u0[1] = jnp.clip(_masked_min(rel[1] - t_mid_y, fov) - 1,
+                     -(cover[1] - 1), cover[1] - 1)
+
+    cp.wait()
+    scr = scratch[:]
+    for axis, tcol in ((0, tx_col), (1, ty_col)):
+        r_amt = jnp.remainder(-tcol, cover[axis])
+        bits = max(1, (cover[axis] - 1).bit_length())
+        for b in range(bits):
+            sel = (r_amt & (1 << b)) != 0
+            rolled = pltpu.roll(scr, 1 << b, axis)
+            scr = jnp.where(sel, rolled, scr)
+    for d in range(3):
+        scr = pltpu.roll(scr, jnp.remainder(-u0[d], scr.shape[d]), d)
+    scratch[:] = scr
+
+    fovf = fov.astype(jnp.float32)
+    accx = jnp.zeros((TX, TY, TZ), jnp.float32)
+    accy = jnp.zeros((TX, TY, TZ), jnp.float32)
+    accz = jnp.zeros((TX, TY, TZ), jnp.float32)
+    for w in range(WZ):
+        idx_z = s[2] + u0[2] + w + base[2]
+        wz = _axis_weight(rel[2], u0[2], frac[2], w, idx_z, in_dim[2]) * fovf
+        dz = _axis_weight_grad(rel[2], u0[2], w, idx_z, in_dim[2]) * fovf
+        tw_x = _t_at(gx, w)
+        tw_y = _t_at(gy, w)
+        relx_w = rel[0] - tw_x
+        rely_w = rel[1] - tw_y
+        wys, dys = [], []
+        for v in range(WY):
+            idx_y = s[1] + u0[1] + v + base[1] + tw_y
+            wys.append(_axis_weight(rely_w, u0[1], frac[1], v, idx_y,
+                                    in_dim[1]))
+            dys.append(_axis_weight_grad(rely_w, u0[1], v, idx_y, in_dim[1]))
+
+        def u_body(u, accs, w=w, wz=wz, dz=dz, tw_x=tw_x, relx_w=relx_w,
+                   wys=wys, dys=dys):
+            accx, accy, accz = accs
+            idx_x = s[0] + u0[0] + u + base[0] + tw_x
+            wx = _axis_weight(relx_w, u0[0], frac[0], u, idx_x, in_dim[0])
+            dx = _axis_weight_grad(relx_w, u0[0], u, idx_x, in_dim[0])
+            dxz = dx * wz
+            wxz = wx * wz
+            wxdz = wx * dz
+            for v in range(WY):
+                slab = scratch[pl.ds(u, TX), v:v + TY, w:w + TZ]
+                accx = accx + (dxz * wys[v]) * slab
+                accy = accy + (wxz * dys[v]) * slab
+                accz = accz + (wxdz * wys[v]) * slab
+            return accx, accy, accz
+
+        accx, accy, accz = _fori_win(WX, u_body,
+                                             (accx, accy, accz))
+    gx_ref[:] = accx
+    gy_ref[:] = accy
+    gz_ref[:] = accz
 
 
 def _push_kernel(tile, cover, win, lo, in_dim, pad_dim, out_dim, kernel_refs):
@@ -454,6 +606,7 @@ def _push_kernel(tile, cover, win, lo, in_dim, pad_dim, out_dim, kernel_refs):
         # non-negative shifts only: hardware dynamic_rotate mishandles
         # negative shifts on the non-lane axes (verified on v5e)
         scr = pltpu.roll(scr, jnp.remainder(-u0[d], scr.shape[d]), d)
+    scratch[:] = scr
 
     # Branch-free trilinear weight: hat(v - g) = max(0, 1 - |v - g|) yields
     # BOTH corner weights (1-f at the floor corner, f at floor+1, 0 outside)
@@ -475,17 +628,17 @@ def _push_kernel(tile, cover, win, lo, in_dim, pad_dim, out_dim, kernel_refs):
         idx = s[d] + u0[d] + off + base1[d]
         return ((idx >= 0) & (idx < in_dim[d])).astype(jnp.float32)
 
-    okx = [_ok(0, u) for u in range(WX)]
     oky = [_ok(1, v) for v in range(WY)]
     okz = [_ok(2, w) for w in range(WZ)]
 
-    acc = jnp.zeros((TX, TY, TZ), jnp.float32)
-    for u in range(WX):
+    def u_body(u, acc):
+        uf = u.astype(jnp.float32)
+        okxu = _ok(0, u)
         for v in range(WY):
-            slab = scr[u:u + TX, v:v + TY, :]
+            slab = scratch[pl.ds(u, TX), v:v + TY, :]
             # T at (u, v, 0) per axis; w steps subtract m[d][2]
-            Tuv = [T0[d] - (m[d][0] * u + m[d][1] * v) for d in range(3)]
-            okxy = okx[u] * oky[v]
+            Tuv = [T0[d] - (m[d][0] * uf + m[d][1] * v) for d in range(3)]
+            okxy = okxu * oky[v]
             for w in range(WZ):
                 wt = okxy * okz[w]
                 for d in range(3):
@@ -496,6 +649,10 @@ def _push_kernel(tile, cover, win, lo, in_dim, pad_dim, out_dim, kernel_refs):
                                    wd, 0.0)
                     wt = wt * wd
                 acc = acc + wt * slab[:, :, w:w + TZ]
+        return acc
+
+    acc = _fori_win(WX, u_body,
+                            jnp.zeros((TX, TY, TZ), jnp.float32))
     out_ref[:] = acc
 
 
@@ -570,6 +727,7 @@ def _push_shear_kernel(tile, cover, win, lo, in_dim, pad_dim, out_dim,
             scr = jnp.where(sel, rolled, scr)
     for d in range(3):
         scr = pltpu.roll(scr, jnp.remainder(-u0[d], scr.shape[d]), d)
+    scratch[:] = scr
 
     vg = [(base[d] + origin[d]).astype(jnp.float32) for d in range(3)]
     T0 = [vg[d] - g0[d] for d in range(3)]
@@ -587,7 +745,9 @@ def _push_shear_kernel(tile, cover, win, lo, in_dim, pad_dim, out_dim,
         corr = [m[d][0] * tw_xf + m[d][1] * tw_yf for d in range(3)]
         okz = ((s[2] + u0[2] + w + base1[2] >= 0)
                & (s[2] + u0[2] + w + base1[2] < in_dim[2])).astype(jnp.float32)
-        for u in range(WX):
+
+        def u_body(u, acc, w=w, tw_x=tw_x, tw_y=tw_y, corr=corr, okz=okz):
+            uf = u.astype(jnp.float32)
             okx = ((s[0] + u0[0] + u + base1[0] + tw_x >= 0)
                    & (s[0] + u0[0] + u + base1[0] + tw_x < in_dim[0])
                    ).astype(jnp.float32)
@@ -598,14 +758,17 @@ def _push_shear_kernel(tile, cover, win, lo, in_dim, pad_dim, out_dim,
                        ).astype(jnp.float32)
                 wt = okxz * oky
                 for d in range(3):
-                    t = (T0[d] - (m[d][0] * u + m[d][1] * v + m[d][2] * w)
+                    t = (T0[d] - (m[d][0] * uf + m[d][1] * v + m[d][2] * w)
                          - corr[d])
                     wd = jnp.maximum(1.0 - jnp.abs(t), 0.0)
                     gd = vg[d] - t
                     wd = jnp.where((gd >= -0.5) & (gd <= out_dim[d] - 0.5),
                                    wd, 0.0)
                     wt = wt * wd
-                acc = acc + wt * scr[u:u + TX, v:v + TY, w:w + TZ]
+                acc = acc + wt * scratch[pl.ds(u, TX), v:v + TY, w:w + TZ]
+            return acc
+
+        acc = _fori_win(WX, u_body, acc)
     out_ref[:] = acc
 
 
@@ -1027,6 +1190,42 @@ def _pull_shear_call(vol, M, plan, in_dim, out_dim):
 def pallas_pull_shear(vol: Array, M: Array, out_dim, plan) -> Array:
     """Shear-pre-pass trilinear pull; plan from :func:`plan_pull_shear`."""
     return _pull_shear_call(vol, M, plan, tuple(vol.shape), tuple(out_dim))
+
+
+@functools.partial(jax.jit, static_argnames=("plan", "in_dim", "out_dim"))
+def _pull_grad_shear_call(vol, M, plan, in_dim, out_dim):
+    tile, cover, pad_dim, win = plan
+    volp = _pad_to(vol, pad_dim)
+    grid = tuple(pl.cdiv(out_dim[d], tile[d]) for d in range(3))
+    kernel = functools.partial(_pull_grad_shear_kernel, tile, cover, win,
+                               in_dim, pad_dim)
+
+    def body(m_ref, vol_ref, gx_ref, gy_ref, gz_ref, scratch, sem):
+        kernel((m_ref, vol_ref, gx_ref, gy_ref, gz_ref, scratch, sem))
+
+    out_spec = pl.BlockSpec(tile, lambda i, j, k, sc: (i, j, k),
+                            memory_space=pltpu.VMEM)
+    gx, gy, gz = pl.pallas_call(
+        body,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            out_specs=[out_spec, out_spec, out_spec],
+            scratch_shapes=[pltpu.VMEM(cover, jnp.float32),
+                            pltpu.SemaphoreType.DMA(())],
+        ),
+        out_shape=[jax.ShapeDtypeStruct(out_dim, jnp.float32)] * 3,
+        compiler_params=_COMPILER_PARAMS,
+    )(M.reshape(-1), volp)
+    return jnp.stack([gx, gy, gz], axis=-1)
+
+
+def pallas_pull_grad_shear(vol: Array, M: Array, out_dim, plan) -> Array:
+    """Shear-pre-pass pull_grad; plan from :func:`plan_pull_shear` (the same
+    plan drives pull and pull_grad — identical windows and DMA cover)."""
+    return _pull_grad_shear_call(vol, M, plan, tuple(vol.shape),
+                                 tuple(out_dim))
 
 
 @functools.partial(jax.jit, static_argnames=("plan", "in_dim", "out_dim"))

@@ -129,19 +129,22 @@ def _pull_gather(vol: Array, M: Array, out_dim, order: int = 1,
     return out * mask
 
 
-def push_window(M) -> tuple:
+def push_window(M, extra: float = 0.0) -> tuple:
     """Static per-axis half-window for the scatter-free adjoint.
 
     Every source point o with a nonzero trilinear weight onto target voxel v
     satisfies |M o - v|_inf < 1, hence |o - M^{-1} v|_inf < L_d where L_d is
     the L1 row norm of M^{-1}'s linear part. Anchoring at round(M^{-1} v), the
     offsets needed are {-n_d..n_d} with n_d = floor(L_d + 0.5). A 25% slack
-    absorbs drift of the (small) rigid factor between retraces.
+    absorbs drift of the (small) rigid factor between retraces; ``extra``
+    adds an absolute L1 budget on top (the fit loop escalates it when the
+    capacity veto saturates — a wider window is the only way a pose BEYOND
+    the current budget can ever be reached).
     """
     M4 = np.eye(4)
     M4[:3, :4] = np.asarray(M, dtype=np.float64).reshape(3, 4)[:3, :4]
     Minv = np.linalg.inv(M4)
-    L = np.abs(Minv[:3, :3]).sum(axis=1) * 1.25
+    L = np.abs(Minv[:3, :3]).sum(axis=1) * 1.25 + extra
     return tuple(int(np.floor(Ld + 0.5)) for Ld in L)
 
 

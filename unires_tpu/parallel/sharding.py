@@ -36,9 +36,49 @@ from ..ops.finite_diff import im_divergence, im_gradient
 from ..solvers.cg import cg
 
 
-def build_mesh(n_devices: int | None = None, batch: int | None = None):
-    """('batch', 'channel') mesh over the available devices."""
-    devs = np.asarray(jax.devices())
+def init_multihost(coordinator_address: str | None = None,
+                   num_processes: int | None = None,
+                   process_id: int | None = None) -> bool:
+    """Flag-guarded ``jax.distributed.initialize`` for multi-host pods.
+
+    The reference has no distributed backend at all (SURVEY §2.3); the
+    TPU-native path is the JAX distributed runtime: every host calls this
+    once before any device use, after which ``jax.devices()`` spans the pod
+    and :func:`build_mesh` lays the BATCH (subject) axis across hosts (DCN
+    — subjects are independent, zero cross-subject collectives) and the
+    channel axis within a host (its one psum/iteration rides ICI).
+
+    Driven by arguments or the UNIRES_TPU_COORDINATOR /
+    UNIRES_TPU_NUM_PROCS / UNIRES_TPU_PROC_ID environment variables; a
+    no-op returning False when neither is present (single-host mode).
+    Cannot be hardware-tested in this environment (one chip); the
+    partitioning it produces is exercised by __graft_entry__.
+    dryrun_multichip's simulated 2-host mesh.
+    """
+    import os
+
+    addr = coordinator_address or os.environ.get("UNIRES_TPU_COORDINATOR")
+    if not addr:
+        return False
+    nproc = num_processes if num_processes is not None else int(
+        os.environ.get("UNIRES_TPU_NUM_PROCS", "1"))
+    pid = process_id if process_id is not None else int(
+        os.environ.get("UNIRES_TPU_PROC_ID", "0"))
+    jax.distributed.initialize(coordinator_address=addr,
+                               num_processes=nproc, process_id=pid)
+    return True
+
+
+def build_mesh(n_devices: int | None = None, batch: int | None = None,
+               devices=None):
+    """('batch', 'channel') mesh over the available devices.
+
+    Multi-host: devices are ordered host-major (jax.devices() groups by
+    process), so the leading batch axis lands ACROSS hosts — subject
+    parallelism over DCN — while the channel axis (the only axis with a
+    per-iteration collective) stays within a host on ICI.
+    """
+    devs = np.asarray(jax.devices() if devices is None else devices)
     n = n_devices or devs.size
     devs = devs[:n]
     if batch is None:
@@ -57,7 +97,7 @@ def build_mesh(n_devices: int | None = None, batch: int | None = None):
 def make_sharded_admm_step(po: ProjOp | list, method: str, sett,
                            mesh: Mesh) -> Callable:
     """Jitted sharded step for stacked state — the PRODUCTION solver
-    (FFT-preconditioned, residual-stopped CG — identical math to
+    (DCT-preconditioned, residual-stopped CG — identical math to
     solvers.admm.make_admm_body), sharded over ('batch', 'channel').
 
     ``po``: one ProjOp, or a list over repeats (homogeneous across
@@ -81,9 +121,11 @@ def make_sharded_admm_step(po: ProjOp | list, method: str, sett,
     cg_tol = float(sett.cgs_tol)
     tiny = 1e-7
 
-    from ..solvers.admm import fourier_membrane_eigs
+    from ..solvers.admm import dct_matrices, dct_membrane_eigs
 
-    lamD_r = fourier_membrane_eigs(dim_y, vx_y)
+    Cx, Cy, Cz = dct_matrices(dim_y)
+    lamD_dct = dct_membrane_eigs(dim_y, vx_y)
+    hiprec = jax.lax.Precision.HIGHEST
     ones_y = jnp.ones(dim_y, jnp.float32)
 
     def local(ys, z, w, xdat, M, Minv, scl, tau, lam, rho):
@@ -106,13 +148,22 @@ def make_sharded_admm_step(po: ProjOp | list, method: str, sett,
                     out = out + tc[n] * AtA(v, M[n], Minv[n], sc[n])
                 return out
 
-            denom = cdiag + rho * lc * lc * lamD_r
+            # diagonal-in-DCT-basis preconditioner (solvers.admm
+            # dct_matrices: XLA's non-power-of-2 TPU FFT compiles to tens of
+            # MB of code; the DCT is six MXU matmuls)
+            denom = cdiag + rho * lc * lc * lamD_dct
 
             def precond(v):
-                return jnp.fft.irfftn(jnp.fft.rfftn(v) / denom,
-                                      s=dim_y).astype(jnp.float32)
+                t = jnp.einsum("ai,ijk->ajk", Cx, v, precision=hiprec)
+                t = jnp.einsum("bj,ajk->abk", Cy, t, precision=hiprec)
+                t = jnp.einsum("ck,abk->abc", Cz, t, precision=hiprec)
+                t = t / denom
+                t = jnp.einsum("ai,abc->ibc", Cx, t, precision=hiprec)
+                t = jnp.einsum("bj,ibc->ijc", Cy, t, precision=hiprec)
+                t = jnp.einsum("ck,ijc->ijk", Cz, t, precision=hiprec)
+                return t
 
-            return cg(lhs, rhs, yc, max_iter=cg_iter, tol=10.0 * cg_tol,
+            return cg(lhs, rhs, yc, max_iter=cg_iter, tol=3.0 * cg_tol,
                       precond=precond, stop="residual")
 
         # observation operands carry a leading repeat axis: map over their

@@ -275,3 +275,269 @@ def shard_spatial(mesh: Mesh, ys, z, w, xdat):
     shzw = NamedSharding(mesh, P(None, None, AXIS))
     return (jax.device_put(ys, shv), jax.device_put(z, shzw),
             jax.device_put(w, shzw), jax.device_put(xdat, shv))
+
+
+# ---------------------------------------------------------------------------
+# Super-resolution chain on slabs (halo convolutions + slab-consistent
+# decimation — the round-2 VERDICT missing item 3)
+# ---------------------------------------------------------------------------
+
+def _extend_overlap(u, h: int, ov: int, n: int):
+    """Extend an OVERLAPPING axis-0 slab decomposition by h rows per side.
+
+    The SR chain's yx slabs overlap by ``ov`` rows (slab length
+    L = (Xl_x - 1) * r0 + K0 while strides advance Xl_x * r0 = L - ov): the
+    next device's local row k sits at my local row (L - ov) + k, so the h
+    rows AFTER my slab are its rows [ov, ov + h) and the h rows before are
+    the previous slab's rows [L - ov - h, L - ov). Global ends get zeros
+    (the Dirichlet bound)."""
+    L = u.shape[0]
+    head = jax.lax.ppermute(u[ov:ov + h], AXIS,
+                            [(i, i - 1) for i in range(1, n)])
+    tail = jax.lax.ppermute(u[L - ov - h:L - ov], AXIS,
+                            [(i, i + 1) for i in range(n - 1)])
+    return jnp.concatenate([tail, u, head], axis=0)
+
+
+def _sum_overlap(u, ov: int, n: int):
+    """Slab-consistent decimation adjoint: rows shared by neighbouring yx
+    slabs hold PARTIAL sums after the local blur_up (each device only sees
+    its own x rows' contributions) — exchange the ov-row strips and add, so
+    every device holds the FULL value for every row of its slab."""
+    if ov <= 0:
+        return u
+    L = u.shape[0]
+    from_next = jax.lax.ppermute(u[:ov], AXIS,
+                                 [(i, i - 1) for i in range(1, n)])
+    from_prev = jax.lax.ppermute(u[L - ov:], AXIS,
+                                 [(i, i + 1) for i in range(n - 1)])
+    u = u.at[L - ov:].add(from_next)
+    u = u.at[:ov].add(from_prev)
+    return u
+
+
+def sr_halo_bounds(po: ProjOp, n: int) -> tuple:
+    """(H_pull, H_push): y-slab halo for the pull and yx-slab halo for the
+    push, from the per-device worst-case footprint of the SR map (affine in
+    the row index -> extremes at the slab/in-plane corners)."""
+    M4 = np.eye(4)
+    M4[:3, :4] = np.asarray(po.M_sr(), np.float64)
+    Minv = np.linalg.inv(M4)
+    dyx, dy = po.dim_yx, po.dim_y
+    Xl_y = dy[0] // n
+    Xl_x = po.dim_x[0] // n
+    r0 = int(po.ratio[0])
+    K0 = int(np.asarray(po.smo_ker_1d[0]).shape[0])
+    Lyx = (Xl_x - 1) * r0 + K0
+    L1 = np.abs(Minv[0, :3]).sum()
+    Hp = Hq = 0.0
+    for idx in range(n):
+        s_yx = idx * Xl_x * r0
+        y0 = idx * Xl_y
+        for j in (s_yx, s_yx + Lyx - 1):
+            for b in (0, dyx[1] - 1):
+                for c in (0, dyx[2] - 1):
+                    g = (M4[0, 0] * j + M4[0, 1] * b + M4[0, 2] * c
+                         + M4[0, 3])
+                    Hp = max(Hp, y0 - g, g - (y0 + Xl_y - 1))
+        for i in (y0, y0 + Xl_y - 1):
+            for b in (0, dy[1] - 1):
+                for c in (0, dy[2] - 1):
+                    ci = (Minv[0, 0] * i + Minv[0, 1] * b + Minv[0, 2] * c
+                          + Minv[0, 3])
+                    Hq = max(Hq, s_yx - (ci - L1), (ci + L1) - (s_yx + Lyx - 1))
+    return int(np.ceil(Hp)) + 2, int(np.ceil(Hq)) + 2
+
+
+def make_spatial_admm_step_sr(po: ProjOp, sett, mesh: Mesh,
+                              halos: tuple | None = None) -> Callable:
+    """Jitted slab-sharded ADMM iteration for the SUPER-RESOLUTION chain.
+
+    Signature: step(ys, z, w, xdat, M, Minv, scl, tau, lam, rho) ->
+    (ys, z, w, obj); ys (C, X, Y, Z) and xdat (C, Xx, Yx, Zx) sharded on
+    their leading spatial axis, z/w (C, 3, X, Y, Z) likewise.
+
+    The full operator chain runs on slabs:
+      pull   y -> yx : read-only y halo (ppermute), per-device-offset
+                       affine, global FOV bounds — as the denoising path;
+      blur   yx -> x : the axis-0 (slab-axis) strided blur needs NO
+                       exchange at all — each device's yx slab is built
+                       (Xl_x-1)*r0+K0 rows long, i.e. with the kernel
+                       support overlap BAKED IN, so the decimated rows it
+                       owns read only local rows; in-plane axes are local;
+      scale  x -> x  : even/odd parity from the GLOBAL slice index;
+      adjoint        : local blur_up produces partial sums on the
+                       overlapping rows -> one ov-row strip exchange per
+                       side (:func:`_sum_overlap`, the slab-consistent
+                       decimation phase), then a read-only yx halo feeds
+                       the gather-formulated push into the local y slab.
+    """
+    n = mesh.shape[AXIS]
+    dim_y = tuple(int(d) for d in po.dim_y)
+    dim_x = tuple(int(d) for d in po.dim_x)
+    dim_yx = tuple(int(d) for d in po.dim_yx)
+    assert dim_y[0] % n == 0 and dim_x[0] % n == 0, \
+        "X must divide the mesh on both grids for the slab prototype"
+    Xl_y = dim_y[0] // n
+    Xl_x = dim_x[0] // n
+    r0 = int(po.ratio[0])
+    kers = [np.asarray(k) for k in po.smo_ker_1d]
+    ratio = tuple(int(r) for r in po.ratio)
+    K0 = kers[0].shape[0]
+    Lyx = (Xl_x - 1) * r0 + K0
+    ov = K0 - r0
+    assert ov >= 0, "axis-0 kernel shorter than stride: use plain slabs"
+    assert (n - 1) * Xl_x * r0 + Lyx == dim_yx[0], \
+        "yx decomposition must tile dim_yx (proj_info padding guarantees it)"
+    H, H2 = halos if halos is not None else sr_halo_bounds(po, n)
+    assert H <= Xl_y, f"pull halo {H} exceeds y slab {Xl_y}: fewer devices"
+    assert ov + H2 <= Lyx, f"push halo {H2} exceeds yx slab interior"
+    dim_thick = int(po.dim_thick)
+    vx_y = tuple(np.sqrt((np.asarray(po.mat_y, np.float64)[:3, :3] ** 2)
+                         .sum(0)).astype(np.float32))
+    window = push_window(po.M_sr())
+    diff = sett.diff
+    cg_iter = int(sett.cgs_max_iter)
+    cg_tol = float(sett.cgs_tol)
+    tiny = 1e-7
+
+    from ..ops.conv import _down_1d, _up_1d
+
+    def local(ys, z, w, xdat, M, Minv, scl, tau, lam, rho):
+        idx = jax.lax.axis_index(AXIS)
+        x0y = (idx * Xl_y).astype(jnp.float32)
+        s_yx = (idx * Xl_x * r0).astype(jnp.float32)
+        x0x_i = idx * Xl_x
+
+        # pull: local yx rows [s_yx, s_yx + Lyx) from the extended y slab
+        Ml = M.at[:, 3].add(M[:, 0] * s_yx)
+        Ml = Ml.at[0, 3].add(-(x0y - H))
+        fov_pull = jnp.asarray(
+            [[0.0, 0.0], [-0.5, dim_y[1] - 0.5], [-0.5, dim_y[2] - 0.5]],
+            jnp.float32)
+        fov_pull = fov_pull.at[0, 0].set(-0.5 - (x0y - H))
+        fov_pull = fov_pull.at[0, 1].set(dim_y[0] - 0.5 - (x0y - H))
+
+        # push: vals on the extended yx slab, targets = my y rows
+        Mp = M.at[:, 3].add(M[:, 0] * (s_yx - H2))
+        Mp = Mp.at[0, 3].add(-x0y)
+        Mpi = Minv.at[:, 3].add(Minv[:, 0] * x0y)
+        Mpi = Mpi.at[0, 3].add(-(s_yx - H2))
+        fov_push = jnp.asarray(
+            [[0.0, 0.0], [-0.5, dim_y[1] - 0.5], [-0.5, dim_y[2] - 0.5]],
+            jnp.float32)
+        fov_push = fov_push.at[0, 0].set(-0.5 - x0y)
+        fov_push = fov_push.at[0, 1].set(dim_y[0] - 0.5 - x0y)
+
+        def scale_loc(t, s, mult=1.0):
+            ss = mult * s
+            if dim_thick == 0:
+                ii = (jax.lax.broadcasted_iota(jnp.int32, (Xl_x, 1, 1), 0)
+                      + x0x_i)
+                sgn = jnp.where(ii % 2 == 0, 1.0, -1.0).astype(t.dtype)
+                return t * jnp.exp(ss * sgn)
+            from ..ops.scaling import apply_scaling
+
+            return apply_scaling(t, ss, dim_thick)
+
+        def blur_down_loc(t):
+            for ax in (0, 1, 2):
+                t = _down_1d(t, kers[ax], ratio[ax], ax)
+            return t
+
+        def blur_up_loc(t):
+            for ax in (0, 1, 2):
+                t = _up_1d(t, kers[ax], ratio[ax], ax)
+            return t
+
+        def A_loc(yc, s):
+            t = pull(_extend_x(yc, H, n), Ml, (Lyx,) + dim_yx[1:],
+                     fov=fov_pull)
+            return scale_loc(blur_down_loc(t), s)
+
+        def _push_half(t):
+            t = _sum_overlap(t, ov, n)
+            t = _extend_overlap(t, H2, ov, n)
+            return push(t, Mp, (Xl_y,) + dim_y[1:], Minv=Mpi, window=window,
+                        fov=fov_push)
+
+        def At_loc(xc, s):
+            return _push_half(blur_up_loc(scale_loc(xc, s)))
+
+        def AtA_loc(yc, s):
+            t = pull(_extend_x(yc, H, n), Ml, (Lyx,) + dim_yx[1:],
+                     fov=fov_pull)
+            t = blur_down_loc(t)
+            t = scale_loc(t, s, 2.0)
+            return _push_half(blur_up_loc(t))
+
+        def pdot(a, b):
+            return jax.lax.psum(jnp.sum(a * b), AXIS)
+
+        def y_update(yc, zc, wc, xc, sc, tc, lc):
+            rhs = tc * At_loc(xc, sc)
+            rhs = rhs - lc * halo_divergence(wc - rho * zc, vx_y, diff, n)
+
+            def lhs(v):
+                out = rho * lc * lc * halo_divergence(
+                    halo_gradient(v, vx_y, diff, n), vx_y, diff, n)
+                return out + tc * AtA_loc(v, sc)
+
+            r0_ = rhs - lhs(yc)
+            p0 = r0_
+            rz0 = pdot(r0_, r0_)
+
+            def body(carry):
+                xv, r, p, rz, it, done = carry
+                Ap = lhs(p)
+                alpha = rz / jnp.maximum(pdot(p, Ap), 1e-30)
+                xv = xv + alpha * p
+                r = r - alpha * Ap
+                rz_new = pdot(r, r)
+                beta = rz_new / jnp.maximum(rz, 1e-30)
+                p = r + beta * p
+                done = rz_new < (cg_tol * cg_tol) * jnp.maximum(rz0, 1e-30)
+                return xv, r, p, rz_new, it + 1, done
+
+            def cond(carry):
+                *_, it, done = carry
+                return (it < cg_iter) & jnp.logical_not(done)
+
+            out = jax.lax.while_loop(
+                cond, body,
+                (yc, r0_, p0, rz0, jnp.int32(0), jnp.bool_(False)))
+            return out[0]
+
+        ys = jax.vmap(y_update)(ys, z, w, xdat, scl, tau, lam)
+
+        def nll_one(yc, xc, sc, tc):
+            Ay = A_loc(yc, sc)
+            msk = xc != 0
+            res = jnp.where(msk, xc - Ay, 0.0)
+            return 0.5 * tc * jnp.sum(res * res)
+
+        nll_xy = jax.lax.psum(
+            jnp.sum(jax.vmap(nll_one)(ys, xdat, scl, tau)), AXIS)
+        Dys = jax.vmap(lambda yc, lc: lc * halo_gradient(
+            yc, vx_y, diff, n))(ys, lam)
+        nll_y = jax.lax.psum(
+            jnp.sum(jnp.sqrt(jnp.sum(Dys * Dys, axis=(0, 1)))), AXIS)
+
+        u = w / rho + Dys
+        mag = jnp.sqrt(jnp.sum(u * u, axis=(0, 1)))
+        shrink = jnp.maximum(mag - 1.0 / rho, 0.0) / (mag + tiny)
+        z = shrink[None, None] * u
+        w = w + rho * (Dys - z)
+        obj = jnp.stack([nll_xy + nll_y, nll_xy, nll_y])
+        return ys, z, w, obj
+
+    vol = P(None, AXIS)
+    zw = P(None, None, AXIS)
+    step = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(vol, zw, zw, vol, P(), P(), P(None,), P(None,), P(None,),
+                  P()),
+        out_specs=(vol, zw, zw, P()),
+        check_vma=False,
+    )
+    return jax.jit(step, donate_argnums=(0, 1, 2))

@@ -19,7 +19,7 @@ class Settings:
     bound: str = "zero"  # boundary condition for resampling/gradients
     cgs_max_iter: int = 20  # max CG iterations in the y-update
     cgs_tol: float = 1e-3  # CG gain tolerance
-    cgs_verbose: bool = False
+    cgs_verbose: bool = False  # per-CG-iteration residual prints (jax.debug.print)
     clean_fov: bool = False  # zero recon voxels outside all low-res FOVs
     coreg_params: dict = dataclasses.field(
         default_factory=lambda: dict(cost_fun="nmi", group="SE", samp=1, fwhm=7.0, mean_space=False)
@@ -39,7 +39,9 @@ class Settings:
     force_inplane_res: bool = False  # downsample in-plane axes finer than vx
     fov: str = "brain"  # crop FOV ('brain'|'head')
     gap: float = 0.0  # slice gap in [0,1)
-    interpolation: int = 1  # interpolation order (0|1)
+    interpolation: int = 1  # API-compat field: the reference itself reads it
+    # only in commented-out code (unires/run.py:180); both pipelines are
+    # trilinear end-to-end (reset_origin/in-plane reslice take it directly)
     label: Optional[tuple] = None  # (path, (channel, repeat)) of manual labels
     mat: Optional[Any] = None  # affine for 4D array input
     max_iter: int = 512  # max outer (ADMM) iterations

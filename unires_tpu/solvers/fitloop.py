@@ -68,6 +68,7 @@ class FitState(NamedTuple):
     obj_max: Array
     obj_min: Array
     has_prev: Array    # bool
+    n_vetoed: Array    # i32 capacity-vetoed rigid line-search candidates
 
 
 def init_state(x, y, sett, z=None, w=None) -> FitState:
@@ -96,7 +97,7 @@ def init_state(x, y, sett, z=None, w=None) -> FitState:
         countdown0=jnp.int32(6), countdown1=jnp.int32(6),
         n_iter=jnp.int32(0), done=jnp.bool_(False),
         prev_obj=jnp.float32(0.0), obj_max=-big, obj_min=big,
-        has_prev=jnp.bool_(False),
+        has_prev=jnp.bool_(False), n_vetoed=jnp.int32(0),
     )
 
 
@@ -104,8 +105,14 @@ def _flat_obs(x):
     return [(c, n) for c in range(len(x)) for n in range(len(x[c]))]
 
 
-def make_fit_chunk(x, y, sett, K: int):
+def make_fit_chunk(x, y, sett, K: int, extra_budget: float = 0.0):
     """Build the jitted K-iteration chunk for the current plan-time poses.
+
+    ``extra_budget`` (radians) widens every window plan beyond its default
+    pose budget; the fit loop escalates it when the on-device capacity veto
+    saturates in consecutive chunks (a pose BEYOND the budget can only be
+    reached through wider windows — re-centring plans at an unmoved pose
+    rebuilds the same program).
 
     chunk(state, xdats, taus, subdats) ->
         (state, objs (K,3), gains (K,), valid (K,) bool)
@@ -137,7 +144,7 @@ def make_fit_chunk(x, y, sett, K: int):
         post = po.mat_yx if method == "super-resolution" else po.mat_x
         pres.append(jnp.asarray(pre.astype(np.float32)))
         posts.append(jnp.asarray(np.asarray(post, np.float64).astype(np.float32)))
-        suites.append(make_obs_suite(po, method))
+        suites.append(make_obs_suite(po, method, extra_budget=extra_budget))
 
         if sett.unified_rigid:
             po_sub = proj_info(po.dim_y, po.mat_y, o.dim, o.mat,
@@ -149,7 +156,9 @@ def make_fit_chunk(x, y, sett, K: int):
             if sub_is_main:
                 suite_sub, po_use = suites[-1], po
             else:
-                suite_sub, po_use = make_obs_suite(po_sub, method), po_sub
+                suite_sub = make_obs_suite(po_sub, method,
+                                           extra_budget=extra_budget)
+                po_use = po_sub
             mat_sub = (po_use.mat_yx if method == "super-resolution"
                        else po_use.mat_x)
             dim_m = (po_use.dim_yx if method == "super-resolution"
@@ -411,30 +420,36 @@ def make_fit_chunk(x, y, sett, K: int):
                 return okv
 
             def ls_body(carry):
-                step, it, acc, q_best, ll_best = carry
+                step, it, acc, q_best, ll_best, nv = carry
                 cand = q_i - step * delta
                 Rc = se3_expm(cand, basis)
                 Mc = (pre @ Rc @ post)[:3, :4]
-                llc = jnp.where(cand_ok(cand), match_ll(Mc), jnp.inf)
+                cap = cand_ok(cand)
+                llc = jnp.where(cap, match_ll(Mc), jnp.inf)
                 ok = llc < ll_best
                 q_best = jnp.where(ok, cand, q_best)
                 ll_best = jnp.where(ok, llc, ll_best)
-                return step * 0.5, it + 1, acc | ok, q_best, ll_best
+                # count capacity-vetoed candidates (VERDICT r2 item 4: the
+                # pose budget must be OBSERVABLE; the host logs the count and
+                # auto-replans when it saturates in consecutive chunks)
+                nv = nv + (~cap).astype(jnp.int32)
+                return step * 0.5, it + 1, acc | ok, q_best, ll_best, nv
 
             def ls_cond(carry):
-                _, it, acc, _, _ = carry
+                _, it, acc, _, _, _ = carry
                 return (~acc) & (it < num_ls)
 
-            _, _, _, q_new, _ = jax.lax.while_loop(
+            _, _, _, q_new, _, n_veto = jax.lax.while_loop(
                 ls_cond, ls_body,
-                (jnp.float32(1.0), jnp.int32(0), jnp.bool_(False), q_i, ll))
+                (jnp.float32(1.0), jnp.int32(0), jnp.bool_(False), q_i, ll,
+                 jnp.int32(0)))
             if debug:
                 Rd = se3_expm(q_i - delta, basis)
                 Md = (pre @ Rd @ post)[:3, :4]
                 return q_new, dict(ll=ll, g=g, H=H, delta=delta,
                                    ok_full=cand_ok(q_i - delta),
                                    ll_full=match_ll(Md))
-            return q_new
+            return q_new, n_veto
 
     def chunk_impl(state: FitState, xdats, taus, subdats):
         # ---- one outer iteration ----
@@ -466,7 +481,7 @@ def make_fit_chunk(x, y, sett, K: int):
             done_now = conv_ok & (cd0 == 0)
 
             def tail(args):
-                q, scl, cnt_scl, cnt_scl_iter, cd1 = args
+                q, scl, cnt_scl, cnt_scl_iter, cd1, nveto = args
                 if do_scaling:
                     Ms2, _ = maps_from_q(q)
                     new_scl = []
@@ -482,7 +497,8 @@ def make_fit_chunk(x, y, sett, K: int):
                 if do_rigid:
                     pred = (st.n_iter > 0) & (st.n_iter % rigid_mod == 0)
 
-                    def do_rig(qq):
+                    def do_rig(args):
+                        qq, nv = args
                         new_q = []
                         for i2 in range(Nobs):
                             c2, n2 = obs[i2]
@@ -501,12 +517,15 @@ def make_fit_chunk(x, y, sett, K: int):
                             dat_i = (xdats[c2][n2]
                                      if sub_infos[i2]["sub_is_main"]
                                      else subdats[i2])
-                            new_q.append(rigid_obs(
+                            q_i2, nv_i2 = rigid_obs(
                                 ys[c2], dat_i, qq[i2], scl[i2],
-                                taus[c2][n2], i2))
-                        return jnp.stack(new_q)
+                                taus[c2][n2], i2)
+                            new_q.append(q_i2)
+                            nv = nv + nv_i2
+                        return jnp.stack(new_q), nv
 
-                    q = jax.lax.cond(pred, do_rig, lambda qq: qq, q)
+                    q, nveto = jax.lax.cond(pred, do_rig, lambda a: a,
+                                            (q, nveto))
 
                 # schedule step (reference run.py:140-155)
                 sch_ok = ((cnt_scl + 1 < n_sched)
@@ -516,11 +535,12 @@ def make_fit_chunk(x, y, sett, K: int):
                 cnt_scl = cnt_scl + stepped.astype(jnp.int32)
                 cnt_scl_iter = jnp.where(stepped, 0, cnt_scl_iter)
                 cd1 = jnp.where(stepped, 6, cd1)
-                return q, scl, cnt_scl, cnt_scl_iter, cd1
+                return q, scl, cnt_scl, cnt_scl_iter, cd1, nveto
 
-            q, scl, cnt_scl, cnt_scl_iter, cd1 = jax.lax.cond(
+            q, scl, cnt_scl, cnt_scl_iter, cd1, nveto = jax.lax.cond(
                 done_now, lambda a: a, tail,
-                (st.q, st.scl, st.cnt_scl, st.cnt_scl_iter, st.countdown1))
+                (st.q, st.scl, st.cnt_scl, st.cnt_scl_iter, st.countdown1,
+                 st.n_vetoed))
 
             new = FitState(
                 ys=ys, z=z, w=w, q=q, scl=scl, jtv=jtv, cdiags=st.cdiags,
@@ -528,7 +548,7 @@ def make_fit_chunk(x, y, sett, K: int):
                 countdown0=cd0, countdown1=cd1,
                 n_iter=st.n_iter + 1, done=st.done | done_now,
                 prev_obj=o0, obj_max=omax, obj_min=omin,
-                has_prev=jnp.bool_(True))
+                has_prev=jnp.bool_(True), n_vetoed=nveto)
             return new, (obj, gain, jnp.bool_(True))
 
         def frozen_iter(st: FitState):
@@ -582,7 +602,7 @@ def _obs_maps_np(x, sett, state_q):
     return out
 
 
-def plan_signature(x, sett, state_q) -> tuple:
+def plan_signature(x, sett, state_q, extra_budget: float = 0.0) -> tuple:
     """Window-plan tuples for all observations at the given poses (host).
 
     Pure numpy — NO device traffic. The fit loop rebuilds (re-traces) the
@@ -599,9 +619,18 @@ def plan_signature(x, sett, state_q) -> tuple:
                                       plan_push_shear)
 
     if not _use_pallas():
-        return ("xla",)
+        # XLA fallback: the push window is the only pose-dependent static —
+        # include it so a pose beyond the planned window changes the
+        # signature and the auto-replan rebuilds with a wider window (this
+        # also makes the veto->replan->converge path testable on CPU)
+        from ..ops.resample import push_window
+
+        return ("xla",) + tuple(
+            push_window(M, extra=2.0 * extra_budget)
+            for M, _ in _obs_maps_np(x, sett, state_q))
     use_shear = _os.environ.get("UNIRES_TPU_SHEAR", "1") not in ("0", "")
     method = sett.method
+    eb = float(extra_budget)
     sigs = []
     maps = _obs_maps_np(x, sett, state_q)
     i = 0
@@ -610,10 +639,20 @@ def plan_signature(x, sett, state_q) -> tuple:
             po = o.po
             src_dim = po.dim_yx if method == "super-resolution" else po.dim_x
             M, _ = maps[i]
-            splan = plan_pull_shear(po.dim_y, src_dim, M) if use_shear else None
-            psplan = plan_push_shear(src_dim, po.dim_y, M) if use_shear else None
-            fplan = plan_pull(po.dim_y, src_dim, M)
-            pplan = plan_push(src_dim, po.dim_y, M) if psplan is None else None
+            splan = psplan = fplan = pplan = None
+            if use_shear:
+                splan = plan_pull_shear(po.dim_y, src_dim, M,
+                                        rot_budget=0.05 + eb)
+                psplan = plan_push_shear(src_dim, po.dim_y, M,
+                                         rot_budget=0.05 + eb,
+                                         l1_slack=0.2 + 2.0 * eb)
+            if splan is None:
+                fplan = plan_pull(po.dim_y, src_dim, M,
+                                  abs_slack=4.0 + 136.0 * eb)
+            if psplan is None:
+                pplan = plan_push(src_dim, po.dim_y, M,
+                                  abs_slack=4.0 + 136.0 * eb,
+                                  l1_slack=0.2 + 2.0 * eb)
             sigs.append((splan, psplan, fplan, pplan))
             i += 1
     return tuple(sigs)
@@ -638,7 +677,7 @@ def replan_margins(x, sett, state_q, plans=None) -> float:
         return np.inf
     if plans is None:
         plans = plan_signature(x, sett, state_q)
-    if plans == ("xla",):
+    if plans and plans[0] == "xla":
         return np.inf
 
     def span_np(M, tile):
