@@ -114,8 +114,11 @@ def test_veto_saturation_escalates_budget_and_converges(capsys):
 
     # rotation about X: couples the z (lane, 128-wide) tile axis into y, so
     # the DMA-cover capacity actually binds (a lane-axis rotation only mixes
-    # the two 8-wide tile axes and stays within any budget)
-    rot = 0.09
+    # the two 8-wide tile axes and stays within any budget). Gauge
+    # mean-centring splits the relative rotation across BOTH observations
+    # (each carries ~rot/2), so the driven misalignment must be ~2x the
+    # budget to saturate.
+    rot = 0.2
     rp = [0.6, -0.4, 0.2, rot, 0.0, 0.0]
     true_R = affine_matrix_classic(rp)
     gt = blob_phantom(dim=(24, 24, 25), amplitude=1000.0, seed=3)
@@ -141,5 +144,5 @@ def test_veto_saturation_escalates_budget_and_converges(capsys):
     cosang = (np.trace(rel[:3, :3]) - 1.0) / 2.0
     got_rot = float(np.arccos(np.clip(cosang, -1, 1)))
     # must have crossed the original budget edge and approach the truth
-    assert got_rot > 0.065, got_rot
-    assert np.abs(rel[:3, :3] - true_R[:3, :3]).max() < 0.02, rel
+    assert got_rot > 0.13, got_rot
+    assert np.abs(rel[:3, :3] - true_R[:3, :3]).max() < 0.03, rel

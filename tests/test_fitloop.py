@@ -57,9 +57,13 @@ def test_rigid_recovery_on_device():
     x0, m0, _ = degrade(gt, thick_axis=2, thick=4.0, noise_sd=10.0, seed=3)
     x1, m1, _ = degrade(gt, thick_axis=1, thick=4.0, noise_sd=10.0, seed=4,
                         rigid_params=rp)
+    # max_iter 64: with gauge mean-centring BOTH observations update (the
+    # reference's two-sided GN, unires/run.py:131), which needs a few more
+    # iterations than the round-2 one-sided anchored variant to settle the
+    # relative pose on this tiny fixture
     sett = Settings(vx=1.0, do_coreg=False, do_print=0, sched_num=0,
                     reg_scl=4.0, write_out=False, tolerance=1e-4,
-                    max_iter=40, unified_rigid=True, chunk_iters=8)
+                    max_iter=64, unified_rigid=True, chunk_iters=8)
     x, y, sett = init([[[x0, m0], [x1, m1]]], sett)
     assert sett.unified_rigid  # N=2: must stay enabled
     _, R, _, obj, _ = fit_solver(x, y, sett)

@@ -175,6 +175,7 @@ def fit(x: XData, y: YData, sett):
         t00 = info(sett, "fit-start", C, N)
         last_ckpt = int(state.n_iter)
         n_vetoed_seen = 0
+        n_sat_seen = 0
         veto_streak = 0
         debug_timing = bool(os.environ.get("UNIRES_TPU_TIME_CHUNKS"))
         profiler_ctx = None
@@ -256,18 +257,36 @@ def fit(x: XData, y: YData, sett):
             replan_margin = float(getattr(sett, "replan_margin", 0.0)
                                   or _REPLAN_MARGIN_DEFAULT)
             # -- pose-budget observability (round-2 VERDICT item 4): the
-            # device counts capacity-vetoed rigid candidates; saturation in
-            # consecutive chunks auto-triggers a re-plan even with
+            # device counts capacity-vetoed rigid candidates AND saturated
+            # line searches (nothing accepted, >=1 veto — the pose is pinned
+            # at the budget edge). Saturation in consecutive chunks
+            # auto-triggers a budget-escalating re-plan even with
             # replan_margin == 0, so a post-coreg residual beyond the window
-            # budget is corrected instead of silently never attempted --
+            # budget is corrected instead of silently never attempted.
+            # Ordinary overshoot vetoes (step 1 rejected, half-step
+            # accepted) are logged but MUST NOT escalate: the round-3 bench
+            # showed raw-veto escalation re-tracing mid-run and widening
+            # every window on a workload whose poses were all in budget. --
             dv = int(state.n_vetoed) - n_vetoed_seen
             n_vetoed_seen = int(state.n_vetoed)
-            veto_streak = veto_streak + 1 if dv > 0 else 0
+            ds = int(state.n_sat) - n_sat_seen
+            n_sat_seen = int(state.n_sat)
+            escalate_on = bool(getattr(sett, "budget_escalate", True))
+            veto_streak = veto_streak + 1 if ds > 0 else 0
             if dv > 0 and sett.do_print >= 1:
-                print(f"OBS: {dv} capacity-vetoed rigid candidate(s) in "
-                      f"chunk ending at iteration {n_done}"
-                      + (" -> re-planning" if veto_streak >= 2 else ""))
-            need_replan = veto_streak >= 2
+                print(f"OBS: {dv} capacity-vetoed rigid candidate(s) "
+                      f"({ds} saturated line search(es)) in chunk ending at "
+                      f"iteration {n_done}"
+                      + (" -> re-planning"
+                         if escalate_on and veto_streak >= 2 else ""))
+            if os.environ.get("UNIRES_TPU_DEBUG_Q"):
+                qs = np.asarray(state.q, np.float64)
+                print(f"[q@{n_done}] " + "; ".join(
+                    f"{i}:" + ",".join(f"{v:+.4f}" for v in qs[i])
+                    for i in range(qs.shape[0]))
+                    + " scl=" + ",".join(
+                        f"{v:+.4f}" for v in np.asarray(state.scl)))
+            need_replan = escalate_on and veto_streak >= 2
             if need_replan:
                 # a saturated pose never moved, so re-centring alone would
                 # rebuild the same windows — escalate the budget instead

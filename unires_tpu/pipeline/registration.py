@@ -370,7 +370,18 @@ def _nmi_opt_cached(fix_dim, mov_dim, bins, chunk, group, plan, iters):
             cond_f, body, (q0, l0, g0, jnp.float32(100.0), jnp.int32(0)))
         return out[0], out[1]
 
-    return jax.jit(opt)
+    # AOT executable cache (round-2 VERDICT item 2: init < 10 s): a warm
+    # process loads each level's compiled optimiser from disk instead of
+    # re-tracing + re-lowering it (utils.aot adds source/jax/device hashing)
+    from ..utils.aot import cached_call
+
+    return cached_call(
+        "nmiopt",
+        dict(fix_dim=fix_dim, mov_dim=mov_dim, bins=bins, chunk=chunk,
+             group=group, plan=plan, iters=iters),
+        jax.jit(opt),
+        src_scope=("ops", "kernels.py", "geometry.py",
+                   "pipeline/registration.py"))
 
 
 def _shear_plan_level(fix_dim, mov_dim, mov_mat, fix_mat, q_now, wc,

@@ -57,8 +57,18 @@ class Settings:
     rho_scl: float = 1.0  # scaling of estimated rho
     rigid_basis: Optional[Any] = None  # derived: se(3) basis
     rigid_mod: int = 1  # update rigid every rigid_mod iterations
-    rigid_gauge_anchor: bool = True  # pin the pose gauge (fixed obs anchored)
+    rigid_gauge_anchor: bool = False  # True: mean-centre the pose gauge each
+    # rigid round (subtract the mean q, reference mean_correct semantics,
+    # unires/_update.py:243-265). False (default, matching the reference fit
+    # loop's mean_correct=False at unires/run.py:131): free gauge — all
+    # observations update; the capacity veto + saturation self-healing guard
+    # the Pallas window budget. Measured (round 3): the free gauge recovers
+    # relative poses more accurately AND faster than either centring or the
+    # round-2 hard anchor (which pinned poses at the budget edge).
     replan_margin: float = 0.0  # >0: re-plan Pallas windows when headroom < this
+    budget_escalate: bool = True  # auto-widen window plans when a rigid line
+    # search saturates its capacity budget in consecutive chunks (self-healing
+    # pose budget; False = log saturation but never re-plan)
     rigid_samp: int = 1  # sub-sampling (mm) for rigid updates
     scaling: bool = False  # optimise even/odd slice scaling
     sched_num: int = 3  # number of coarse-to-fine lambda scalings

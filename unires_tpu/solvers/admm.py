@@ -179,6 +179,22 @@ def make_admm_body(x, y, sett):
     lamD_dct = dct_membrane_eigs(dim_y, vx_y)
     hi = jax.lax.Precision.HIGHEST
 
+    X, Y, Z = dim_y
+    Cn = len(x)
+
+    def _dct_apply(V, Mx, My, Mz):
+        # per-axis transform as swapaxes+reshape+MATMUL: einsum's lowering
+        # of the same contractions compiled to ~44 MB of TPU code per
+        # instance at odd dims (transpose-fusion bloat; measured 126 MB for
+        # the 6-matmul chain) — this formulation compiles to 7.5 MB and
+        # runs the same speed
+        t = V.swapaxes(1, 3).reshape(-1, X)
+        t = jnp.matmul(t, Mx, precision=hi).reshape(Cn, Z, Y, X).swapaxes(1, 3)
+        t = t.swapaxes(2, 3).reshape(-1, Y)
+        t = jnp.matmul(t, My, precision=hi).reshape(Cn, X, Z, Y).swapaxes(2, 3)
+        t = t.reshape(-1, Z)
+        return jnp.matmul(t, Mz, precision=hi).reshape(Cn, X, Y, Z)
+
     def make_precond_batched(cdiags_c, rho, lams_c):
         # diagonal-in-DCT-basis inverse of  cdiag + rho lam^2 D^T D  for ALL
         # channels at once — six (n, n) matmuls on the MXU with the channel
@@ -187,14 +203,9 @@ def make_admm_body(x, y, sett):
                  + rho * (lams_c * lams_c)[:, None, None, None] * lamD_dct)
 
         def P(V):
-            t = jnp.einsum("ai,cijk->cajk", Cx, V, precision=hi)
-            t = jnp.einsum("bj,cajk->cabk", Cy, t, precision=hi)
-            t = jnp.einsum("zk,cabk->cabz", Cz, t, precision=hi)
+            t = _dct_apply(V, Cx.T, Cy.T, Cz.T)
             t = t / denom
-            t = jnp.einsum("ai,cabz->cibz", Cx, t, precision=hi)
-            t = jnp.einsum("bj,cibz->cijz", Cy, t, precision=hi)
-            t = jnp.einsum("zk,cijz->cijk", Cz, t, precision=hi)
-            return t
+            return _dct_apply(t, Cx, Cy, Cz)
 
         return P
 

@@ -83,7 +83,7 @@ def cg(A: Callable[[Array], Array], b: Array, x0: Array, max_iter: int = 20,
 def cg_batched(A: Callable[[Array], Array], b: Array, x0: Array,
                max_iter: int = 20, tol: float = 1e-3,
                precond: Callable[[Array], Array] | None = None,
-               verbose: bool = False) -> Array:
+               verbose: bool = False, return_iters: bool = False):
     """Residual-stop PCG over a leading batch (channel) axis, one while_loop.
 
     Each batch entry follows exactly the trajectory ``cg(..., stop=
@@ -137,4 +137,6 @@ def cg_batched(A: Callable[[Array], Array], b: Array, x0: Array,
     live0 = jnp.ones(b.shape[0], bool)  # cg always runs >= 1 iteration
     out = jax.lax.while_loop(cond, body, (x0, r0, p0, rz0, live0,
                                           jnp.int32(0)))
+    if return_iters:
+        return out[0], out[5]
     return out[0]

@@ -26,6 +26,7 @@ driven outside their planned windows, by construction.
 """
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax
@@ -69,6 +70,10 @@ class FitState(NamedTuple):
     obj_min: Array
     has_prev: Array    # bool
     n_vetoed: Array    # i32 capacity-vetoed rigid line-search candidates
+    n_sat: Array       # i32 SATURATED line searches: no candidate accepted
+                       # AND >=1 veto — the pose is pinned at the window
+                       # budget edge (ordinary overshoot vetoes, where a
+                       # halved step is then accepted, do NOT count)
 
 
 def init_state(x, y, sett, z=None, w=None) -> FitState:
@@ -98,6 +103,7 @@ def init_state(x, y, sett, z=None, w=None) -> FitState:
         n_iter=jnp.int32(0), done=jnp.bool_(False),
         prev_obj=jnp.float32(0.0), obj_max=-big, obj_min=big,
         has_prev=jnp.bool_(False), n_vetoed=jnp.int32(0),
+        n_sat=jnp.int32(0),
     )
 
 
@@ -191,7 +197,6 @@ def make_fit_chunk(x, y, sett, K: int, extra_budget: float = 0.0):
     do_scaling = bool(sett.scaling)
     do_rigid = bool(sett.unified_rigid)
     gauge_anchor = bool(getattr(sett, "rigid_gauge_anchor", True))
-    anchor_idx = min(max(int(getattr(sett, "fix", 0)), 0), max(Nobs - 1, 0))
     rigid_mod = max(int(sett.rigid_mod), 1)
     num_ls = 6  # reference run.py:119,131 line-search budget
     ct_flags = [x[c][n].ct for (c, n) in obs]
@@ -214,6 +219,18 @@ def make_fit_chunk(x, y, sett, K: int, extra_budget: float = 0.0):
     def nested_scl(scl_flat):
         return tuple(tuple(scl_flat[flat_of[(c, n)]]
                            for n in range(len(x[c]))) for c in range(C))
+
+    def pose_capacity_ok(i2, qv):
+        """All window plans of observation i2 accept pose qv (device bool)."""
+        R = se3_expm(qv, basis)
+        M4m = pres[i2] @ R @ posts[i2]
+        ok = suites[i2]["capacity_ok"](M4m[:3, :4], inv44(M4m)[:3, :4])
+        info2 = sub_infos[i2]
+        if info2 is not None and not info2["sub_is_main"]:
+            M4s = info2["pre"] @ R @ info2["post"]
+            ok &= info2["suite"]["capacity_ok"](M4s[:3, :4],
+                                                inv44(M4s)[:3, :4])
+        return ok
 
     def rho_of(taus, lams):
         if rho_fixed is not None:
@@ -439,17 +456,25 @@ def make_fit_chunk(x, y, sett, K: int, extra_budget: float = 0.0):
                 _, it, acc, _, _, _ = carry
                 return (~acc) & (it < num_ls)
 
-            _, _, _, q_new, _, n_veto = jax.lax.while_loop(
+            _, _, acc_any, q_new, _, n_veto = jax.lax.while_loop(
                 ls_cond, ls_body,
                 (jnp.float32(1.0), jnp.int32(0), jnp.bool_(False), q_i, ll,
                  jnp.int32(0)))
+            # saturation = the line search accepted NOTHING and at least one
+            # candidate was capacity-vetoed: the pose is pinned against the
+            # window budget. An overshoot veto at step 1 followed by an
+            # accepted half-step is NORMAL GN behaviour and must not trigger
+            # budget escalation (round-3 bench: raw-veto-count escalation
+            # fired on routine overshoots, re-tracing mid-run and widening
+            # every window for nothing).
+            sat = (~acc_any) & (n_veto > 0)
             if debug:
                 Rd = se3_expm(q_i - delta, basis)
                 Md = (pre @ Rd @ post)[:3, :4]
                 return q_new, dict(ll=ll, g=g, H=H, delta=delta,
                                    ok_full=cand_ok(q_i - delta),
                                    ll_full=match_ll(Md))
-            return q_new, n_veto
+            return q_new, n_veto, sat
 
     def chunk_impl(state: FitState, xdats, taus, subdats):
         # ---- one outer iteration ----
@@ -481,7 +506,7 @@ def make_fit_chunk(x, y, sett, K: int, extra_budget: float = 0.0):
             done_now = conv_ok & (cd0 == 0)
 
             def tail(args):
-                q, scl, cnt_scl, cnt_scl_iter, cd1, nveto = args
+                q, scl, cnt_scl, cnt_scl_iter, cd1, nveto, nsat, _ = args
                 if do_scaling:
                     Ms2, _ = maps_from_q(q)
                     new_scl = []
@@ -498,49 +523,78 @@ def make_fit_chunk(x, y, sett, K: int, extra_budget: float = 0.0):
                     pred = (st.n_iter > 0) & (st.n_iter % rigid_mod == 0)
 
                     def do_rig(args):
-                        qq, nv = args
+                        qq, nv, ns = args
                         new_q = []
                         for i2 in range(Nobs):
                             c2, n2 = obs[i2]
-                            if gauge_anchor and i2 == anchor_idx:
-                                # pin the pose gauge by not updating the
-                                # fixed observation: without an anchor the
-                                # poses + recon random-walk together (the
-                                # joint model is gauge-free, reference
-                                # mean_correct, unires/_update.py:243-265)
-                                # — meaningless drift that erodes the
-                                # Pallas window headroom and forces
-                                # re-plans. The relative poses, the only
-                                # identifiable quantity, are unaffected.
-                                new_q.append(qq[i2])
-                                continue
                             dat_i = (xdats[c2][n2]
                                      if sub_infos[i2]["sub_is_main"]
                                      else subdats[i2])
-                            q_i2, nv_i2 = rigid_obs(
+                            q_i2, nv_i2, sat_i2 = rigid_obs(
                                 ys[c2], dat_i, qq[i2], scl[i2],
                                 taus[c2][n2], i2)
                             new_q.append(q_i2)
                             nv = nv + nv_i2
-                        return jnp.stack(new_q), nv
+                            ns = ns + sat_i2.astype(jnp.int32)
+                        qn = jnp.stack(new_q)
+                        if gauge_anchor and Nobs > 1:
+                            # centre the pose gauge by subtracting the mean
+                            # pose (the reference's mean_correct,
+                            # unires/_update.py:243-265): the joint model is
+                            # gauge-free, so without centring the poses and
+                            # the recon random-walk together, eroding Pallas
+                            # window headroom. Round-3 lesson: a HARD anchor
+                            # (pinning one observation) is the wrong gauge —
+                            # it forces the others to absorb the FULL
+                            # relative post-coreg misalignment, which
+                            # measured right at the ±0.05 rad shear budget
+                            # on the bench workload, pinning poses at the
+                            # capacity edge and stalling convergence. Mean
+                            # centring halves the worst-case per-pose
+                            # excursion instead. The centred poses must
+                            # STILL pass every window-capacity check (the
+                            # veto only vetted the uncentred candidates), so
+                            # centring is applied only when all pass.
+                            qc = qn - jnp.mean(qn, axis=0, keepdims=True)
+                            okc = jnp.bool_(True)
+                            for i2 in range(Nobs):
+                                okc &= pose_capacity_ok(i2, qc[i2])
+                            qn = jnp.where(okc, qc, qn)
+                        return qn, nv, ns
 
-                    q, nveto = jax.lax.cond(pred, do_rig, lambda a: a,
-                                            (q, nveto))
+                    q, nveto, nsat = jax.lax.cond(pred, do_rig, lambda a: a,
+                                                  (q, nveto, nsat))
 
                 # schedule step (reference run.py:140-155)
                 sch_ok = ((cnt_scl + 1 < n_sched)
                           & (cnt_scl_iter > 16) & (jnp.abs(gain) < 1e-3))
                 cd1 = jnp.where(sch_ok, cd1 - 1, 6)
                 stepped = sch_ok & (cd1 == 0)
+                # dual-consistency rescale at the lambda step: the z aux
+                # approximates lam*D*y, so when lam -> lam' it must scale by
+                # lam'/lam (and w by (lam'/lam)*(rho'/rho) = 1, since rho is
+                # ~1/lam). The reference skips this and leans on its fixed
+                # 20-iteration CG to absorb the shock; with an early-exit
+                # residual-stop CG the unrescaled step produced a ~3x
+                # objective EXPLOSION at every schedule step (measured
+                # iterations 41/53/71 of the tol-10x bench run) that cost
+                # ~10 recovery iterations each.
+                fac_z = jnp.where(
+                    stepped,
+                    reg_scl_j[jnp.minimum(cnt_scl + 1, n_sched - 1)]
+                    / reg_scl_j[cnt_scl],
+                    jnp.float32(1.0))
                 cnt_scl = cnt_scl + stepped.astype(jnp.int32)
                 cnt_scl_iter = jnp.where(stepped, 0, cnt_scl_iter)
                 cd1 = jnp.where(stepped, 6, cd1)
-                return q, scl, cnt_scl, cnt_scl_iter, cd1, nveto
+                return q, scl, cnt_scl, cnt_scl_iter, cd1, nveto, nsat, fac_z
 
-            q, scl, cnt_scl, cnt_scl_iter, cd1, nveto = jax.lax.cond(
+            (q, scl, cnt_scl, cnt_scl_iter, cd1, nveto, nsat,
+             fac_z) = jax.lax.cond(
                 done_now, lambda a: a, tail,
                 (st.q, st.scl, st.cnt_scl, st.cnt_scl_iter, st.countdown1,
-                 st.n_vetoed))
+                 st.n_vetoed, st.n_sat, jnp.float32(1.0)))
+            z = z * fac_z
 
             new = FitState(
                 ys=ys, z=z, w=w, q=q, scl=scl, jtv=jtv, cdiags=st.cdiags,
@@ -548,7 +602,7 @@ def make_fit_chunk(x, y, sett, K: int, extra_budget: float = 0.0):
                 countdown0=cd0, countdown1=cd1,
                 n_iter=st.n_iter + 1, done=st.done | done_now,
                 prev_obj=o0, obj_max=omax, obj_min=omin,
-                has_prev=jnp.bool_(True), n_vetoed=nveto)
+                has_prev=jnp.bool_(True), n_vetoed=nveto, n_sat=nsat)
             return new, (obj, gain, jnp.bool_(True))
 
         def frozen_iter(st: FitState):
@@ -570,8 +624,46 @@ def make_fit_chunk(x, y, sett, K: int, extra_budget: float = 0.0):
 
     jitted = jax.jit(chunk_impl, donate_argnums=(0,))
 
+    # ---- AOT executable cache (round-2 VERDICT item 1): a warm process
+    # loads the compiled chunk straight from disk — no Python trace (~41 s
+    # for the unrolled Pallas windows), no lowering, no XLA-cache lookup.
+    # The key covers every value that lands in the traced program as a
+    # constant; utils.aot adds the package source hash, jax version and
+    # device kind. Any miss falls back to the normal jit path. ----
+    from ..utils.aot import cached_call
+
+    key_parts = dict(
+        K=K, extra_budget=float(extra_budget), C=C,
+        nobs=[len(xc) for xc in x], method=method, do_proj=do_proj,
+        dim_y=dim_y, reg_scl=reg_scl, lam0=[float(yc.lam0) for yc in y],
+        vx_mat=np.asarray(y[0].mat, np.float64),
+        rho_fixed=rho_fixed, rho_scl=rho_scl, tol=tol, max_iter=max_iter,
+        do_scaling=do_scaling, do_rigid=do_rigid,
+        gauge_anchor=gauge_anchor,
+        rigid_mod=rigid_mod, num_ls=num_ls, ct=ct_flags,
+        diff=sett.diff, alpha=float(sett.alpha),
+        cg_iter=int(sett.cgs_max_iter), cg_tol=float(sett.cgs_tol),
+        cgs_verbose=bool(sett.cgs_verbose),
+        rigid_samp=float(sett.rigid_samp),
+        prof=(sett.profile_ip, sett.profile_tp, float(sett.gap)),
+        basis=np.asarray(basis_np, np.float64),
+        obs=[dict(dim=tuple(o.dim), mat=np.asarray(o.mat, np.float64),
+                  dim_x=o.po.dim_x, dim_yx=o.po.dim_yx,
+                  mat_yx=np.asarray(o.po.mat_yx, np.float64),
+                  ratio=o.po.ratio, thick=o.po.dim_thick,
+                  kers=[np.asarray(k) for k in o.po.smo_ker_1d],
+                  rigid=np.asarray(o.po.rigid, np.float64))
+             for xc in x for o in xc],
+        env={k: os.environ.get(k, "") for k in
+             ("UNIRES_TPU_SHEAR", "UNIRES_TPU_WINDOW_ROLLED",
+              "UNIRES_TPU_BACKEND")},
+    )
+    cached = cached_call(
+        "fitchunk", key_parts, jitted,
+        src_scope=("ops", "models", "solvers", "kernels.py", "geometry.py"))
+
     def chunk(state, xdats, taus, subdats):
-        return jitted(state, xdats, taus, subdats)
+        return cached(state, xdats, taus, subdats)
 
     # exposed for tests / debugging of the per-observation device updates
     chunk._debug = dict(rigid_obs=rigid_obs, scaling_obs=scaling_obs,
