@@ -125,9 +125,13 @@ def test_veto_saturation_escalates_budget_and_converges(capsys):
     x0, m0, _ = degrade(gt, thick_axis=2, thick=4.0, noise_sd=5.0, seed=3)
     x1, m1, _ = degrade(gt, thick_axis=1, thick=4.0, noise_sd=5.0, seed=4,
                         rigid_params=rp)
+    # cgs_max_iter=4: the y-subproblem's accuracy is irrelevant here (the
+    # assertion is about the POSE path), and interpret-mode pull/push in the
+    # CG body dominate this test's runtime (1049 s -> ~6 min on 1 CPU)
     sett = Settings(vx=1.0, do_coreg=False, do_print=1, sched_num=0,
                     reg_scl=4.0, write_out=False, tolerance=1e-4,
-                    max_iter=24, unified_rigid=True, chunk_iters=4)
+                    max_iter=24, unified_rigid=True, chunk_iters=4,
+                    cgs_max_iter=4)
     os.environ["UNIRES_TPU_BACKEND"] = "pallas"
     try:
         x, y, sett = init([[[x0, m0], [x1, m1]]], sett)
