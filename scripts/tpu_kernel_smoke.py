@@ -1,0 +1,102 @@
+"""Real-TPU Pallas kernel smoke test (~1-2 min incl. compiles).
+
+The CI suite (tests/test_pallas_kernels.py) pins kernel semantics in
+interpret mode on CPU; the hazards that only exist on hardware — the
+negative `dynamic_rotate` direction on non-lane axes, DMA (8,128) alignment,
+Mosaic scoped-vmem accounting over the unrolled window loops
+(ops/pallas_resample.py:176-181,55-61) — are exercised here, against the
+XLA gather/scatter oracle on the same device.  Run from the verify recipe:
+
+    PYTHONPATH=/root/repo:$PYTHONPATH python -u scripts/tpu_kernel_smoke.py
+
+Exits 0 and prints one PASS line per check, or exits 1 with the failing
+kernel + max abs error.  Inputs vary per call (the axon terminal result-
+caches identical executions).
+"""
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from unires_tpu.geometry import affine_matrix_classic
+    from unires_tpu.ops.pallas_resample import (
+        pallas_pull_grad_shear, pallas_pull_shear, pallas_push_shear,
+        plan_pull_shear, plan_push_shear)
+    from unires_tpu.ops.resample import (affine_to_M, pull as xla_pull,
+                                         pull_grad as xla_pull_grad,
+                                         push as xla_push)
+
+    dev = jax.devices()[0]
+    print(f"device: {dev.device_kind} ({dev.platform})", flush=True)
+
+    in_dim, out_dim = (40, 44, 140), (38, 42, 138)
+    rng = np.random.default_rng(2026)
+    vol = jnp.asarray(rng.random(in_dim, dtype=np.float32))
+    vals = jnp.asarray(rng.random(out_dim, dtype=np.float32))
+
+    # plans at a ROTATED nominal pose, then evaluated at a DRIFTED pose —
+    # the production situation (drift-proof shear windows, fitloop.py)
+    nominal = affine_matrix_classic([0.5, 0.2, -0.3, 0.03, -0.02, 0.025])
+    drifted = affine_matrix_classic([0.9, -0.4, 0.1, 0.045, -0.04, 0.01])
+    fplan = plan_pull_shear(in_dim, out_dim, nominal[:3, :4])
+    pplan = plan_push_shear(out_dim, in_dim, nominal[:3, :4])
+    assert fplan is not None and pplan is not None, "planner refused smoke dims"
+
+    failures = []
+
+    def check(name, got, want, rel_atol=1e-4, grad=False):
+        got, want = np.asarray(got), np.asarray(want)
+        if grad:  # gradient is discontinuous at integer crossings
+            diff = np.abs(got - want).max(axis=-1)
+            err = float(np.percentile(diff, 99.9))
+        else:
+            err = float(np.abs(got - want).max())
+        scale = float(np.abs(want).max()) + 1e-6
+        ok = err <= rel_atol * scale + 1e-5
+        print(f"{'PASS' if ok else 'FAIL'} {name}: max|err|={err:.3e} "
+              f"(scale {scale:.3e})", flush=True)
+        if not ok:
+            failures.append(name)
+
+    for tag, mat in (("nominal", nominal), ("drifted", drifted)):
+        M = affine_to_M(mat)
+        M4 = np.eye(4)
+        M4[:3, :4] = np.asarray(M)
+        Minv = jnp.asarray(np.linalg.inv(M4)[:3, :4].astype(np.float32))
+        t0 = time.time()
+        check(f"pull_shear/{tag}",
+              pallas_pull_shear(vol, M, out_dim, fplan),
+              xla_pull(vol, M, out_dim))
+        check(f"push_shear/{tag}",
+              pallas_push_shear(vals, M, Minv, in_dim, pplan),
+              xla_push(vals, M, in_dim))
+        check(f"pull_grad_shear/{tag}",
+              pallas_pull_grad_shear(vol, M, out_dim, fplan),
+              xla_pull_grad(vol, M, out_dim), grad=True)
+        print(f"  ({tag} round: {time.time() - t0:.1f}s incl. compiles)",
+              flush=True)
+        # adjointness on hardware (catches asymmetric DMA/rotate bugs that
+        # happen to cancel against the oracle's own edge handling)
+        Ay = pallas_pull_shear(vol, M, out_dim, fplan)
+        Atv = pallas_push_shear(vals, M, Minv, in_dim, pplan)
+        lhs = float(jnp.sum(Ay * vals))
+        rhs = float(jnp.sum(Atv * vol))
+        ok = abs(lhs - rhs) < 5e-5 * abs(lhs)
+        print(f"{'PASS' if ok else 'FAIL'} adjoint/{tag}: "
+              f"<Ay,v>={lhs:.6e} <Atv,y>={rhs:.6e}", flush=True)
+        if not ok:
+            failures.append(f"adjoint/{tag}")
+
+    if failures:
+        print(f"SMOKE FAILED: {failures}", flush=True)
+        sys.exit(1)
+    print("SMOKE OK", flush=True)
+
+
+if __name__ == "__main__":
+    main()
