@@ -128,6 +128,79 @@ def _extend_x(u, h: int, n: int):
     return jnp.concatenate([tail, u, head], axis=0)
 
 
+def _make_slab_precond(Xl: int, dim_y: tuple, vx_y):
+    """Slab-LOCAL spectral preconditioner factory (block-diagonal over the
+    mesh): the per-slab DCT-II approximation of the global preconditioner
+    in solvers.admm (dct_matrices/dct_membrane_eigs). Neumann bounds are
+    assumed at the slab edges — wrong by one stencil row per boundary, which
+    a preconditioner is allowed to be (it stays SPD and local), and it needs
+    NO collectives: six (n, n) MXU matmuls per application, all on-device.
+
+    Returns ``precond(cdiag, rho_lam2) -> P`` with ``P(r)`` acting on a
+    local (Xl, Y, Z) slab; ``cdiag`` the (global-mean) data-term diagonal
+    and ``rho_lam2`` = rho * lam^2 scaling the membrane eigenvalues.
+    """
+    from ..solvers.admm import dct_matrices, dct_membrane_eigs
+
+    ldim = (Xl,) + tuple(dim_y[1:])
+    Cx, Cy, Cz = dct_matrices(ldim)
+    lamD = dct_membrane_eigs(ldim, vx_y)
+    hi = jax.lax.Precision.HIGHEST
+    Xd, Yd, Zd = ldim
+
+    def _apply(V, Mx, My, Mz):
+        # swapaxes+reshape+matmul (not einsum): see admm._dct_apply
+        t = V.swapaxes(0, 2).reshape(-1, Xd)
+        t = jnp.matmul(t, Mx, precision=hi).reshape(Zd, Yd, Xd).swapaxes(0, 2)
+        t = t.swapaxes(1, 2).reshape(-1, Yd)
+        t = jnp.matmul(t, My, precision=hi).reshape(Xd, Zd, Yd).swapaxes(1, 2)
+        t = t.reshape(-1, Zd)
+        return jnp.matmul(t, Mz, precision=hi).reshape(Xd, Yd, Zd)
+
+    def precond(cdiag, rho_lam2):
+        denom = cdiag + rho_lam2 * lamD
+
+        def P(r):
+            t = _apply(r, Cx.T, Cy.T, Cz.T)
+            return _apply(t / denom, Cx, Cy, Cz)
+
+        return P
+
+    return precond
+
+
+def _pcg(lhs, rhs, x0, P, pdot, max_iter: int, tol: float):
+    """Preconditioned CG on local slabs; inner products psum over the mesh.
+
+    Residual-amplitude stop (||r|| < tol * ||r0||), matching the production
+    solver's criterion (solvers.cg.cg_batched)."""
+    r0 = rhs - lhs(x0)
+    z0 = P(r0)
+    rr0 = pdot(r0, r0)
+    rz0 = pdot(r0, z0)
+
+    def body(carry):
+        xv, r, p, rz, it, done = carry
+        Ap = lhs(p)
+        alpha = rz / jnp.maximum(pdot(p, Ap), 1e-30)
+        xv = xv + alpha * p
+        r = r - alpha * Ap
+        zn = P(r)
+        rz_new = pdot(r, zn)
+        beta = rz_new / jnp.maximum(rz, 1e-30)
+        p = zn + beta * p
+        done = pdot(r, r) < (tol * tol) * jnp.maximum(rr0, 1e-30)
+        return xv, r, p, rz_new, it + 1, done
+
+    def cond(carry):
+        *_, it, done = carry
+        return (it < max_iter) & jnp.logical_not(done)
+
+    out = jax.lax.while_loop(
+        cond, body, (x0, r0, z0, rz0, jnp.int32(0), jnp.bool_(False)))
+    return out[0]
+
+
 def spatial_halo_bound(po: ProjOp, method: str = "denoising") -> int:
     """Required halo (voxels) for the operator's resampling footprint:
     max |g_x - x| over the volume + interpolation support + 1."""
@@ -146,8 +219,8 @@ def make_spatial_admm_step(po: ProjOp, sett, mesh: Mesh,
     Signature: step(ys, z, w, xdat, M, Minv, tau, lam, rho) ->
     (ys, z, w, obj), with ys/xdat (C, X, Y, Z), z/w (C, 3, X, Y, Z), all
     sharded on the X axis. Math identical to solvers.admm.make_admm_body's
-    denoising branch with an unpreconditioned CG (the FFT preconditioner is
-    global-spectral; a slab-local variant is future work).
+    denoising branch, with the slab-local DCT preconditioner
+    (:func:`_make_slab_precond`) standing in for the global-spectral one.
     """
     n = mesh.shape[AXIS]
     dim_y = tuple(int(d) for d in po.dim_y)
