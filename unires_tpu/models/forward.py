@@ -98,8 +98,12 @@ def make_resample_suite(po: ProjOp, method: Method, rigid=None,
         # the plain plans are only built when shear is off/unplannable: the
         # shear plan drives pull, pull_grad AND (via psplan) push, so the
         # pose budget is the DMA cover (~+-0.05 rad) everywhere (the round-2
-        # plain-plan pull_grad pinned it to ~+-0.03 rad — VERDICT item 7)
-        if splan is None:
+        # plain-plan pull_grad pinned it to ~+-0.03 rad — VERDICT item 7).
+        # UNIRES_TPU_SHEAR_GRAD=0: keep shear pull/push but fall back to the
+        # plain-plan pull_grad (the exact round-2 kernel mix; bisect knob
+        # for the round-3 full-scale worker crash).
+        if splan is None or os.environ.get(
+                "UNIRES_TPU_SHEAR_GRAD", "1") in ("0", ""):
             fplan = plan_pull(dim_y, src_dim, M_nom,
                               abs_slack=4.0 + 136.0 * eb)
         if psplan is None:
@@ -189,12 +193,23 @@ def make_resample_suite(po: ProjOp, method: Method, rigid=None,
 
         checks.append(_push_headroom)
 
-    if splan is not None:
+    if splan is not None and fplan is None:
         def pull_grad_fn(dat, M):
             return pallas_pull_grad_shear(dat, M, src_dim, splan)
     elif fplan is not None:
+        # plain-plan pull_grad (also the UNIRES_TPU_SHEAR_GRAD=0 path when a
+        # shear plan exists); its narrower windows must join the capacity veto
         def pull_grad_fn(dat, M):
             return pallas_pull_grad(dat, M, src_dim, fplan)
+
+        if splan is not None:
+            g_tile, g_cap = plan_capacity_pull(fplan)
+            g_capj = jnp.asarray(g_cap, jnp.float32)
+
+            def _grad_headroom(M, Minv, tile=g_tile, cap=g_capj):
+                return cap - dyn_span(M, tile)
+
+            checks.append(_grad_headroom)
     else:
         def pull_grad_fn(dat, M):
             return pull_grad(dat, M, src_dim)
@@ -209,6 +224,10 @@ def make_resample_suite(po: ProjOp, method: Method, rigid=None,
 
     return dict(pull=pull_fn, push=push_fn, pull_grad=pull_grad_fn,
                 capacity_ok=capacity_ok, margin=margin,
+                # static plan tuples: everything pose-dependent that lands in
+                # the traced program (window/cover/tile sizes) — the honest
+                # cache-key surrogate for the nominal pose (utils.aot)
+                plans=(splan, psplan, fplan, pplan),
                 pallas=(fplan is not None or splan is not None,
                         pplan is not None or psplan is not None))
 

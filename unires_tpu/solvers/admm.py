@@ -122,6 +122,23 @@ def dct_membrane_eigs(dim_y, vx_y) -> jnp.ndarray:
     return jnp.asarray(lamD)
 
 
+def dct_membrane_tables(dim_y):
+    """Per-axis DCT-II membrane tables 4 sin^2(pi k / (2 n)), broadcast-ready
+    ((X,1,1), (1,Y,1), (1,1,Z)).  The full-grid eigenvalue field is
+    ``sum_d tables[d] / vx_d^2`` — computed ON THE FLY inside the
+    preconditioner, so no dim_y-sized constant (28 MB at 181x217x181) is
+    baked into the executable and vx can be a traced operand."""
+    dim_y = tuple(int(d) for d in dim_y)
+    out = []
+    for d in range(3):
+        k = np.arange(dim_y[d])
+        e = (4.0 * np.sin(np.pi * k / (2.0 * dim_y[d])) ** 2).astype(np.float32)
+        shape = [1, 1, 1]
+        shape[d] = dim_y[d]
+        out.append(jnp.asarray(e.reshape(shape)))
+    return tuple(out)
+
+
 def make_cdiag_fn(x, sett) -> Callable:
     """Device fn: per-channel data-term diagonal for the CG preconditioner.
 
@@ -176,7 +193,7 @@ def make_admm_body(x, y, sett):
 
     ops = [[make_obs_ops(o.po, method) for o in x[c]] for c in range(C)]
     Cx, Cy, Cz = dct_matrices(dim_y)
-    lamD_dct = dct_membrane_eigs(dim_y, vx_y)
+    eig_tabs = dct_membrane_tables(dim_y)
     hi = jax.lax.Precision.HIGHEST
 
     X, Y, Z = dim_y
@@ -195,12 +212,20 @@ def make_admm_body(x, y, sett):
         t = t.reshape(-1, Z)
         return jnp.matmul(t, Mz, precision=hi).reshape(Cn, X, Y, Z)
 
-    def make_precond_batched(cdiags_c, rho, lams_c):
+    def make_precond_batched(cdiags_c, rho, lams_c, vx):
         # diagonal-in-DCT-basis inverse of  cdiag + rho lam^2 D^T D  for ALL
         # channels at once — six (n, n) matmuls on the MXU with the channel
-        # axis batched into them (see dct_matrices for why not FFT)
+        # axis batched into them (see dct_matrices for why not FFT).
+        # UNIRES_TPU_PRECOND=none disables it (identity; bisect knob).
+        import os as _os
+
+        if _os.environ.get("UNIRES_TPU_PRECOND", "dct") in ("none", "0"):
+            return None
+        lamD = (eig_tabs[0] / (vx[0] * vx[0])
+                + eig_tabs[1] / (vx[1] * vx[1])
+                + eig_tabs[2] / (vx[2] * vx[2]))
         denom = (cdiags_c[:, None, None, None]
-                 + rho * (lams_c * lams_c)[:, None, None, None] * lamD_dct)
+                 + rho * (lams_c * lams_c)[:, None, None, None] * lamD)
 
         def P(V):
             t = _dct_apply(V, Cx.T, Cy.T, Cz.T)
@@ -209,10 +234,13 @@ def make_admm_body(x, y, sett):
 
         return P
 
-    def grad_c(yc, lam):
-        return lam * im_gradient(yc, vx_y, diff)
+    def body(ys, z, w, xdats, Ms, Minvs, scls, taus, lams, rho, cdiags,
+             vx=None):
+        if vx is None:
+            vx = jnp.asarray(vx_y, jnp.float32)
 
-    def body(ys, z, w, xdats, Ms, Minvs, scls, taus, lams, rho, cdiags):
+        def grad_c(yc, lam):
+            return lam * im_gradient(yc, vx, diff)
         # ---- y-update: ALL channels in ONE batched CG. Channel solves are
         # independent (per-channel alpha/beta, converged channels frozen —
         # trajectories identical to separate CGs), but batching means the
@@ -232,7 +260,7 @@ def make_admm_body(x, y, sett):
                                                 Minvs[c][n], scls[c][n])
                 else:
                     rhs = rhs + taus[c][n] * xdats[c][n]
-            div = im_divergence(w[c] - rho * z[c], vx_y, diff)
+            div = im_divergence(w[c] - rho * z[c], vx, diff)
             rhs_all.append(rhs - lam * div)
         rhs_all = jnp.stack(rhs_all)
 
@@ -241,7 +269,7 @@ def make_admm_body(x, y, sett):
             for c in range(C):
                 lam = lams[c]
                 out = rho * lam * lam * im_divergence(
-                    im_gradient(V[c], vx_y, diff), vx_y, diff)
+                    im_gradient(V[c], vx, diff), vx, diff)
                 for n in range(len(x[c])):
                     A, At, AtA = ops[c][n]
                     if do_proj:
@@ -252,7 +280,7 @@ def make_admm_body(x, y, sett):
                 outs.append(out)
             return jnp.stack(outs)
 
-        precond = make_precond_batched(cdiags, rho, lams)
+        precond = make_precond_batched(cdiags, rho, lams, vx)
         # residual stop: the preconditioner converges CG in ~3-5 cold
         # iterations, and warm-started solves exit immediately (the
         # reference's max_gain criterion always runs max_iter).

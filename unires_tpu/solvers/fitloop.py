@@ -140,16 +140,24 @@ def make_fit_chunk(x, y, sett, K: int, extra_budget: float = 0.0):
                 else affine_basis("SE"))
     basis = jnp.asarray(np.asarray(basis_np), jnp.float32)
 
-    # ---- static per-observation geometry ----
-    pres, posts, suites = [], [], []
-    sub_infos = []  # (suite_sub, pre_sub, post_sub, center, cscale, sub_is_main)
+    # ---- static per-observation geometry. The affine constants (pre =
+    # mat_y^-1, post = mat_yx / mat_x, their rigid-subsample variants, vx_y,
+    # lam0) are NOT baked into the trace: they ride in as the ``geom``
+    # operand so the compiled executable — and its AOT cache key — depends
+    # on the pose/affines ONLY through the integer window plans. Without
+    # this, coreg float jitter changed the key every run and each round-3
+    # bench attempt recompiled (and stacked) a fresh multi-hundred-MB
+    # executable. ----
+    pres_np, posts_np, suites = [], [], []
+    sub_pres_np, sub_posts_np = [], []
+    sub_infos = []  # (suite_sub, dims, center, cscale, sub_is_main)
     for (c, n) in obs:
         o = x[c][n]
         po = o.po
         pre = np.linalg.inv(np.asarray(po.mat_y, np.float64))
         post = po.mat_yx if method == "super-resolution" else po.mat_x
-        pres.append(jnp.asarray(pre.astype(np.float32)))
-        posts.append(jnp.asarray(np.asarray(post, np.float64).astype(np.float32)))
+        pres_np.append(pre.astype(np.float32))
+        posts_np.append(np.asarray(post, np.float64).astype(np.float32))
         suites.append(make_obs_suite(po, method, extra_budget=extra_budget))
 
         if sett.unified_rigid:
@@ -171,15 +179,26 @@ def make_fit_chunk(x, y, sett, K: int, extra_budget: float = 0.0):
                      else po_use.dim_x)
             center = tuple((d - 1) / 2.0 for d in dim_m)
             cscale = tuple(max((d - 1) / 2.0, 1.0) for d in dim_m)
+            sub_pres_np.append(pres_np[-1])
+            sub_posts_np.append(np.asarray(mat_sub, np.float64)
+                                .astype(np.float32))
             sub_infos.append(dict(
                 suite=suite_sub, po=po_use,
-                pre=pres[-1],
-                post=jnp.asarray(np.asarray(mat_sub, np.float64)
-                                 .astype(np.float32)),
                 dim=dim_m, center=center, cscale=cscale,
                 sub_is_main=sub_is_main))
         else:
+            sub_pres_np.append(pres_np[-1])
+            sub_posts_np.append(posts_np[-1])
             sub_infos.append(None)
+
+    vx_y_np = np.sqrt((np.asarray(y[0].mat, np.float64)[:3, :3] ** 2)
+                      .sum(0)).astype(np.float32)
+    geom_args = (jnp.asarray(np.stack(pres_np)),
+                 jnp.asarray(np.stack(posts_np)),
+                 jnp.asarray(np.stack(sub_pres_np)),
+                 jnp.asarray(np.stack(sub_posts_np)),
+                 jnp.asarray(vx_y_np),
+                 jnp.asarray([float(yc.lam0) for yc in y], jnp.float32))
 
     admm_body = make_admm_body(x, y, sett)
 
@@ -187,7 +206,6 @@ def make_fit_chunk(x, y, sett, K: int, extra_budget: float = 0.0):
     reg_scl = np.atleast_1d(np.asarray(sett.reg_scl, np.float64))
     n_sched = int(reg_scl.size)
     reg_scl_j = jnp.asarray(reg_scl.astype(np.float32))
-    lam0 = jnp.asarray([float(yc.lam0) for yc in y], jnp.float32)
     has_ct = any(o.ct for xc in x for o in xc)
     rho_fixed = (1.0 if has_ct else
                  (float(sett.rho) if sett.rho is not None else None))
@@ -202,7 +220,7 @@ def make_fit_chunk(x, y, sett, K: int, extra_budget: float = 0.0):
     ct_flags = [x[c][n].ct for (c, n) in obs]
     dim_y_j = dim_y
 
-    def maps_from_q(q):
+    def maps_from_q(q, pres, posts):
         Ms, Minvs = [], []
         for c in range(C):
             Mc, Mic = [], []
@@ -220,14 +238,14 @@ def make_fit_chunk(x, y, sett, K: int, extra_budget: float = 0.0):
         return tuple(tuple(scl_flat[flat_of[(c, n)]]
                            for n in range(len(x[c]))) for c in range(C))
 
-    def pose_capacity_ok(i2, qv):
+    def pose_capacity_ok(i2, qv, pres, posts, sub_pres, sub_posts):
         """All window plans of observation i2 accept pose qv (device bool)."""
         R = se3_expm(qv, basis)
         M4m = pres[i2] @ R @ posts[i2]
         ok = suites[i2]["capacity_ok"](M4m[:3, :4], inv44(M4m)[:3, :4])
         info2 = sub_infos[i2]
         if info2 is not None and not info2["sub_is_main"]:
-            M4s = info2["pre"] @ R @ info2["post"]
+            M4s = sub_pres[i2] @ R @ sub_posts[i2]
             ok &= info2["suite"]["capacity_ok"](M4s[:3, :4],
                                                 inv44(M4s)[:3, :4])
         return ok
@@ -238,8 +256,8 @@ def make_fit_chunk(x, y, sett, K: int, extra_budget: float = 0.0):
         tau_all = jnp.stack([taus[c][n] for (c, n) in obs])
         return rho_scl * jnp.sqrt(jnp.mean(tau_all)) / jnp.mean(lams)
 
-    def compute_cdiags(q, scl_flat, taus):
-        Ms, Minvs = maps_from_q(q)
+    def compute_cdiags(q, scl_flat, taus, pres, posts):
+        Ms, Minvs = maps_from_q(q, pres, posts)
         out = []
         for c in range(C):
             acc = jnp.float32(0.0)
@@ -308,12 +326,13 @@ def make_fit_chunk(x, y, sett, K: int, extra_budget: float = 0.0):
             return s_new
 
     # ---- per-observation rigid GN (reference _update_rigid_channel) ----
-    def rigid_obs(ys_c, dat_x, q_i, s_i, tau, i, debug=False):
+    def rigid_obs(ys_c, dat_x, q_i, s_i, tau, i, geom, debug=False):
             c, n = obs[i]
+            pres, posts, sub_pres, sub_posts = geom[:4]
             info = sub_infos[i]
             suite = info["suite"]
             po_u = info["po"]
-            pre, post = info["pre"], info["post"]
+            pre, post = sub_pres[i], sub_posts[i]
             dim_m = info["dim"]
             center = info["center"]
             cscale = info["cscale"]
@@ -476,16 +495,18 @@ def make_fit_chunk(x, y, sett, K: int, extra_budget: float = 0.0):
                                    ll_full=match_ll(Md))
             return q_new, n_veto, sat
 
-    def chunk_impl(state: FitState, xdats, taus, subdats):
+    def chunk_impl(state: FitState, xdats, taus, subdats, geom):
+        pres, posts, sub_pres, sub_posts, vx, lam0 = geom
+
         # ---- one outer iteration ----
         def live_iter(st: FitState):
             lams = reg_scl_j[st.cnt_scl] * lam0
             rho = rho_of(taus, lams)
-            Ms, Minvs = maps_from_q(st.q)
+            Ms, Minvs = maps_from_q(st.q, pres, posts)
             scls = nested_scl(st.scl)
             ys, z, w, jtv, obj = admm_body(
                 st.ys, st.z, st.w, xdats, Ms, Minvs, scls, taus, lams, rho,
-                st.cdiags)
+                st.cdiags, vx=vx)
 
             # gain (nitorch get_gain over the posterior trace)
             o0 = obj[0]
@@ -508,7 +529,7 @@ def make_fit_chunk(x, y, sett, K: int, extra_budget: float = 0.0):
             def tail(args):
                 q, scl, cnt_scl, cnt_scl_iter, cd1, nveto, nsat, _ = args
                 if do_scaling:
-                    Ms2, _ = maps_from_q(q)
+                    Ms2, _ = maps_from_q(q, pres, posts)
                     new_scl = []
                     for i2 in range(Nobs):
                         c2, n2 = obs[i2]
@@ -532,7 +553,7 @@ def make_fit_chunk(x, y, sett, K: int, extra_budget: float = 0.0):
                                      else subdats[i2])
                             q_i2, nv_i2, sat_i2 = rigid_obs(
                                 ys[c2], dat_i, qq[i2], scl[i2],
-                                taus[c2][n2], i2)
+                                taus[c2][n2], i2, geom)
                             new_q.append(q_i2)
                             nv = nv + nv_i2
                             ns = ns + sat_i2.astype(jnp.int32)
@@ -558,7 +579,9 @@ def make_fit_chunk(x, y, sett, K: int, extra_budget: float = 0.0):
                             qc = qn - jnp.mean(qn, axis=0, keepdims=True)
                             okc = jnp.bool_(True)
                             for i2 in range(Nobs):
-                                okc &= pose_capacity_ok(i2, qc[i2])
+                                okc &= pose_capacity_ok(
+                                    i2, qc[i2], pres, posts, sub_pres,
+                                    sub_posts)
                             qn = jnp.where(okc, qc, qn)
                         return qn, nv, ns
 
@@ -617,7 +640,7 @@ def make_fit_chunk(x, y, sett, K: int, extra_budget: float = 0.0):
         # refresh the CG preconditioner diagonals once per chunk (tracks
         # rigid drift; round-1 VERDICT weak item 8)
         state = state._replace(
-            cdiags=compute_cdiags(state.q, state.scl, taus))
+            cdiags=compute_cdiags(state.q, state.scl, taus, pres, posts))
         state, (objs, gains, valid) = jax.lax.scan(
             body, state, None, length=K)
         return state, objs, gains, valid
@@ -632,11 +655,14 @@ def make_fit_chunk(x, y, sett, K: int, extra_budget: float = 0.0):
     # device kind. Any miss falls back to the normal jit path. ----
     from ..utils.aot import cached_call
 
+    # the affines/poses enter the key ONLY through the integer window-plan
+    # tuples (they are operands otherwise — see the geom note above), so
+    # coreg float jitter or a converged-pose re-plan that lands on the same
+    # windows re-uses the cached executable bit-for-bit
     key_parts = dict(
         K=K, extra_budget=float(extra_budget), C=C,
         nobs=[len(xc) for xc in x], method=method, do_proj=do_proj,
-        dim_y=dim_y, reg_scl=reg_scl, lam0=[float(yc.lam0) for yc in y],
-        vx_mat=np.asarray(y[0].mat, np.float64),
+        dim_y=dim_y, reg_scl=reg_scl,
         rho_fixed=rho_fixed, rho_scl=rho_scl, tol=tol, max_iter=max_iter,
         do_scaling=do_scaling, do_rigid=do_rigid,
         gauge_anchor=gauge_anchor,
@@ -647,15 +673,20 @@ def make_fit_chunk(x, y, sett, K: int, extra_budget: float = 0.0):
         rigid_samp=float(sett.rigid_samp),
         prof=(sett.profile_ip, sett.profile_tp, float(sett.gap)),
         basis=np.asarray(basis_np, np.float64),
-        obs=[dict(dim=tuple(o.dim), mat=np.asarray(o.mat, np.float64),
-                  dim_x=o.po.dim_x, dim_yx=o.po.dim_yx,
-                  mat_yx=np.asarray(o.po.mat_yx, np.float64),
-                  ratio=o.po.ratio, thick=o.po.dim_thick,
-                  kers=[np.asarray(k) for k in o.po.smo_ker_1d],
-                  rigid=np.asarray(o.po.rigid, np.float64))
-             for xc in x for o in xc],
+        obs=[dict(dim=tuple(x[c][n].dim),
+                  dim_x=x[c][n].po.dim_x, dim_yx=x[c][n].po.dim_yx,
+                  ratio=x[c][n].po.ratio, thick=x[c][n].po.dim_thick,
+                  kers=[np.asarray(k) for k in x[c][n].po.smo_ker_1d],
+                  plans=suites[i]["plans"],
+                  sub_plans=(None if sub_infos[i] is None
+                             or sub_infos[i]["sub_is_main"]
+                             else sub_infos[i]["suite"]["plans"]),
+                  sub_dim=(None if sub_infos[i] is None
+                           else sub_infos[i]["dim"]))
+             for i, (c, n) in enumerate(obs)],
         env={k: os.environ.get(k, "") for k in
-             ("UNIRES_TPU_SHEAR", "UNIRES_TPU_WINDOW_ROLLED",
+             ("UNIRES_TPU_SHEAR", "UNIRES_TPU_SHEAR_GRAD",
+              "UNIRES_TPU_PRECOND", "UNIRES_TPU_WINDOW_ROLLED",
               "UNIRES_TPU_BACKEND")},
     )
     cached = cached_call(
@@ -663,11 +694,12 @@ def make_fit_chunk(x, y, sett, K: int, extra_budget: float = 0.0):
         src_scope=("ops", "models", "solvers", "kernels.py", "geometry.py"))
 
     def chunk(state, xdats, taus, subdats):
-        return cached(state, xdats, taus, subdats)
+        return cached(state, xdats, taus, subdats, geom_args)
 
     # exposed for tests / debugging of the per-observation device updates
     chunk._debug = dict(rigid_obs=rigid_obs, scaling_obs=scaling_obs,
-                        maps_from_q=maps_from_q, sub_infos=sub_infos)
+                        maps_from_q=maps_from_q, sub_infos=sub_infos,
+                        geom=geom_args)
     return chunk
 
 
@@ -721,6 +753,7 @@ def plan_signature(x, sett, state_q, extra_budget: float = 0.0) -> tuple:
             push_window(M, extra=2.0 * extra_budget)
             for M, _ in _obs_maps_np(x, sett, state_q))
     use_shear = _os.environ.get("UNIRES_TPU_SHEAR", "1") not in ("0", "")
+    shear_grad = _os.environ.get("UNIRES_TPU_SHEAR_GRAD", "1") not in ("0", "")
     method = sett.method
     eb = float(extra_budget)
     sigs = []
@@ -738,7 +771,7 @@ def plan_signature(x, sett, state_q, extra_budget: float = 0.0) -> tuple:
                 psplan = plan_push_shear(src_dim, po.dim_y, M,
                                          rot_budget=0.05 + eb,
                                          l1_slack=0.2 + 2.0 * eb)
-            if splan is None:
+            if splan is None or not shear_grad:
                 fplan = plan_pull(po.dim_y, src_dim, M,
                                   abs_slack=4.0 + 136.0 * eb)
             if psplan is None:

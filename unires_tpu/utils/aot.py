@@ -118,6 +118,11 @@ def cache_key(tag: str, key_parts: Any, src_scope: tuple = ()) -> str:
         dev = devs[0]
         h.update(f"{dev.platform}:{getattr(dev, 'device_kind', '?')}"
                  f":n{len(devs)}".encode())
+        # runtime build string (round-3 VERDICT weak item 8): the
+        # platform_version carries the libtpu build + the serialized-
+        # executable compat version, the exact mismatch family that fed a
+        # stale executable to a newer runtime in MULTICHIP_r01
+        h.update(str(getattr(dev.client, "platform_version", "")).encode())
     except Exception:
         h.update(b"nodev")
     h.update(_package_source_hash(tuple(src_scope)).encode())
@@ -125,10 +130,47 @@ def cache_key(tag: str, key_parts: Any, src_scope: tuple = ()) -> str:
     return h.hexdigest()[:32]
 
 
+_CANARY_OK: Optional[bool] = None
+
+
+def _canary_ok() -> bool:
+    """Round-trip a TINY executable through serialize/deserialize and RUN it.
+
+    Guards the whole cache family against runtime/serialization staleness
+    that the key cannot see (round-3 VERDICT weak item 8): if the current
+    runtime cannot faithfully execute a deserialized executable, every load
+    is refused and callers fall back to the normal jit path. One ~ms check
+    per process (memoized).
+    """
+    global _CANARY_OK
+    if _CANARY_OK is None:
+        try:
+            import jax
+            import jax.numpy as jnp
+            from jax.experimental import serialize_executable as se
+
+            fn = jax.jit(lambda v: v * 2.0 + 1.0)
+            x = jnp.arange(8, dtype=jnp.float32)
+            payload, in_tree, out_tree = se.serialize(fn.lower(x).compile())
+            loaded = se.deserialize_and_load(payload, in_tree, out_tree)
+            import numpy as np
+
+            _CANARY_OK = bool(
+                np.allclose(np.asarray(loaded(x)),
+                            np.arange(8, dtype=np.float32) * 2.0 + 1.0))
+        except Exception as e:
+            if os.environ.get("UNIRES_TPU_AOT_DEBUG"):
+                print(f"[aot] canary failed: {e}")
+            _CANARY_OK = False
+    return _CANARY_OK
+
+
 def load(tag: str, key: str) -> Optional[Callable]:
     """Load a cached executable; None on miss or any failure."""
     path = os.path.join(_cache_dir(), f"{tag}-{key}.aot")
     if not os.path.exists(path):
+        return None
+    if not _canary_ok():
         return None
     try:
         from jax.experimental import serialize_executable as se
