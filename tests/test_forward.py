@@ -94,3 +94,34 @@ def test_apply_scaling_roundtrip():
                            np.asarray(odd_slices(x, ax)) * np.exp(-0.13), atol=1e-5)
         back = apply_scaling(y, -s, ax)
         assert np.allclose(np.asarray(back), np.asarray(x), atol=1e-5)
+
+
+def test_2d_operator_path():
+    """2D inputs through proj_info/forward (reference _proj_apply's conv2d
+    branches, _project.py:156-157 — unreachable from its CLI but part of the
+    documented operator surface): the 2D operator is the degenerate-Z 3D
+    chain, exact vs. an explicitly-built (X, Y, 1) 3D operator."""
+    import numpy as np
+
+    from unires_tpu.models.forward import check_adjoint, proj_apply
+    from unires_tpu.models.proj_op import proj_info
+
+    mat2 = np.eye(3)
+    mat2[1, 1] = 4.0  # thick y axis, ratio 4
+    po2 = proj_info((64, 64), np.eye(3), (64, 16), mat2,
+                    prof_ip=2, prof_tp=0, scl=0.1)
+    assert po2.dim_y == (64, 64, 1) and po2.dim_x == (64, 16, 1)
+    assert po2.ratio == (1, 4, 1) and po2.dim_thick == 1
+
+    diff, scale = check_adjoint(po2, "super-resolution")
+    assert abs(diff) <= 1e-4 * abs(scale)
+
+    mat3 = np.eye(4)
+    mat3[1, 1] = 4.0
+    po3 = proj_info((64, 64, 1), np.eye(4), (64, 16, 1), mat3,
+                    prof_ip=2, prof_tp=0, scl=0.1)
+    rng = np.random.default_rng(0)
+    y2 = rng.random((64, 64, 1), dtype=np.float32)
+    a2 = np.asarray(proj_apply("A", jnp.asarray(y2), po2, "super-resolution"))
+    a3 = np.asarray(proj_apply("A", jnp.asarray(y2), po3, "super-resolution"))
+    assert np.allclose(a2, a3, atol=1e-6)

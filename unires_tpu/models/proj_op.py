@@ -67,6 +67,20 @@ class ProjOp:
         return M[:3, :4].astype(np.float32)
 
 
+def _lift_mat_2d(m: np.ndarray) -> np.ndarray:
+    """Embed a 2D affine ((3,3), or an already-(4,4) plane transform) into a
+    4x4 3D affine acting trivially on the degenerate z axis."""
+    m = np.asarray(m, np.float64)
+    if m.shape == (4, 4):
+        return m
+    if m.shape != (3, 3):
+        raise ValueError(f"2D affine must be (3,3) or (4,4), got {m.shape}")
+    out = np.eye(4)
+    out[:2, :2] = m[:2, :2]
+    out[:2, 3] = m[:2, 2]
+    return out
+
+
 def proj_info(
     dim_y,
     mat_y,
@@ -87,6 +101,18 @@ def proj_info(
     mat_x = np.asarray(mat_x, dtype=np.float64)
     dim_y = np.asarray(dim_y, dtype=np.float64).ravel()
     dim_x = np.asarray(dim_x, dtype=np.float64).ravel()
+    if dim_y.size == 2:
+        # 2D operator path (reference _proj_apply's conv2d branches,
+        # unires/_project.py:156-157): lift to degenerate-Z 3D — dirac
+        # profile and ratio 1 on the singleton axis make the 3D chain
+        # EXACTLY the 2D operator on (X, Y, 1) volumes. Callers apply it
+        # via proj_apply(dat[..., None], ...).
+        dim_y = np.concatenate([dim_y, [1.0]])
+        dim_x = np.concatenate([dim_x, [1.0]])
+        mat_y = _lift_mat_2d(mat_y)
+        mat_x = _lift_mat_2d(mat_x)
+        if rigid is not None:
+            rigid = _lift_mat_2d(np.asarray(rigid, np.float64))
     ndim = dim_y.size
     vx_y = voxel_size(mat_y)
     vx_x = voxel_size(mat_x)

@@ -169,27 +169,34 @@ def _make_slab_precond(Xl: int, dim_y: tuple, vx_y):
     return precond
 
 
-def _pcg(lhs, rhs, x0, P, pdot, max_iter: int, tol: float):
+def _pcg(lhs, rhs, x0, P, psum2, max_iter: int, tol: float,
+         return_iters: bool = False):
     """Preconditioned CG on local slabs; inner products psum over the mesh.
 
     Residual-amplitude stop (||r|| < tol * ||r0||), matching the production
-    solver's criterion (solvers.cg.cg_batched)."""
+    solver's criterion (solvers.cg.cg_batched).  TWO collectives per
+    iteration, same as unpreconditioned CG: ``psum2(a, b)`` sums a stacked
+    PAIR of inner products in one psum, so the stop-test r.r rides the same
+    collective as r.z (round-3 ADVICE: three psums per step would add ICI
+    latency for nothing).  ``P = None`` runs plain CG."""
+    if P is None:
+        P = lambda v: v
     r0 = rhs - lhs(x0)
     z0 = P(r0)
-    rr0 = pdot(r0, r0)
-    rz0 = pdot(r0, z0)
+    rz0, rr0 = psum2(r0 * z0, r0 * r0)
 
     def body(carry):
         xv, r, p, rz, it, done = carry
         Ap = lhs(p)
-        alpha = rz / jnp.maximum(pdot(p, Ap), 1e-30)
+        pAp, _ = psum2(p * Ap, p * Ap)
+        alpha = rz / jnp.maximum(pAp, 1e-30)
         xv = xv + alpha * p
         r = r - alpha * Ap
         zn = P(r)
-        rz_new = pdot(r, zn)
+        rz_new, rr = psum2(r * zn, r * r)
         beta = rz_new / jnp.maximum(rz, 1e-30)
         p = zn + beta * p
-        done = pdot(r, r) < (tol * tol) * jnp.maximum(rr0, 1e-30)
+        done = rr < (tol * tol) * jnp.maximum(rr0, 1e-30)
         return xv, r, p, rz_new, it + 1, done
 
     def cond(carry):
@@ -198,6 +205,8 @@ def _pcg(lhs, rhs, x0, P, pdot, max_iter: int, tol: float):
 
     out = jax.lax.while_loop(
         cond, body, (x0, r0, z0, rz0, jnp.int32(0), jnp.bool_(False)))
+    if return_iters:
+        return out[0], out[4]
     return out[0]
 
 
@@ -235,7 +244,7 @@ def make_spatial_admm_step(po: ProjOp, sett, mesh: Mesh,
     cg_iter = int(sett.cgs_max_iter)
     cg_tol = float(sett.cgs_tol)
     tiny = 1e-7
-    C = None  # trace-time from shapes
+    precond_factory = _make_slab_precond(Xl, dim_y, vx_y)
 
     def local(ys, z, w, xdat, M, Minv, tau, lam, rho):
         idx = jax.lax.axis_index(AXIS)
@@ -272,8 +281,9 @@ def make_spatial_admm_step(po: ProjOp, sett, mesh: Mesh,
         def AtA_loc(yc):
             return At_loc(A_loc(yc))
 
-        def pdot(a, b):
-            return jax.lax.psum(jnp.sum(a * b), AXIS)
+        def psum2(a, b):
+            s = jax.lax.psum(jnp.stack([jnp.sum(a), jnp.sum(b)]), AXIS)
+            return s[0], s[1]
 
         def y_update(yc, zc, wc, xc, tc, lc):
             rhs = tc * At_loc(xc)
@@ -284,30 +294,10 @@ def make_spatial_admm_step(po: ProjOp, sett, mesh: Mesh,
                     halo_gradient(v, vx_y, diff, n), vx_y, diff, n)
                 return out + tc * AtA_loc(v)
 
-            # CG with psum'd inner products (unpreconditioned)
-            r0 = rhs - lhs(yc)
-            p0 = r0
-            rz0 = pdot(r0, r0)
-
-            def body(carry):
-                xv, r, p, rz, it, done = carry
-                Ap = lhs(p)
-                alpha = rz / jnp.maximum(pdot(p, Ap), 1e-30)
-                xv = xv + alpha * p
-                r = r - alpha * Ap
-                rz_new = pdot(r, r)
-                beta = rz_new / jnp.maximum(rz, 1e-30)
-                p = r + beta * p
-                done = rz_new < (cg_tol * cg_tol) * jnp.maximum(rz0, 1e-30)
-                return xv, r, p, rz_new, it + 1, done
-
-            def cond(carry):
-                *_, it, done = carry
-                return (it < cg_iter) & jnp.logical_not(done)
-
-            out = jax.lax.while_loop(
-                cond, body, (yc, r0, p0, rz0, jnp.int32(0), jnp.bool_(False)))
-            return out[0]
+            # PCG with the slab-local DCT preconditioner (cdiag = tau:
+            # the denoising AtA(1) is ~1 inside the FOV)
+            P_slab = precond_factory(tc, rho * lc * lc)
+            return _pcg(lhs, rhs, yc, P_slab, psum2, cg_iter, cg_tol)
 
         ys = jax.vmap(y_update)(ys, z, w, xdat, tau, lam)
 
@@ -473,6 +463,9 @@ def make_spatial_admm_step_sr(po: ProjOp, sett, mesh: Mesh,
     cg_iter = int(sett.cgs_max_iter)
     cg_tol = float(sett.cgs_tol)
     tiny = 1e-7
+    precond_factory = _make_slab_precond(Xl_y, dim_y, vx_y)
+    ata1_mean = float(np.prod([np.sum(k) ** 2 for k in kers])
+                      / np.prod(ratio))
 
     from ..ops.conv import _down_1d, _up_1d
 
@@ -544,8 +537,9 @@ def make_spatial_admm_step_sr(po: ProjOp, sett, mesh: Mesh,
             t = scale_loc(t, s, 2.0)
             return _push_half(blur_up_loc(t))
 
-        def pdot(a, b):
-            return jax.lax.psum(jnp.sum(a * b), AXIS)
+        def psum2(a, b):
+            s = jax.lax.psum(jnp.stack([jnp.sum(a), jnp.sum(b)]), AXIS)
+            return s[0], s[1]
 
         def y_update(yc, zc, wc, xc, sc, tc, lc):
             rhs = tc * At_loc(xc, sc)
@@ -556,30 +550,11 @@ def make_spatial_admm_step_sr(po: ProjOp, sett, mesh: Mesh,
                     halo_gradient(v, vx_y, diff, n), vx_y, diff, n)
                 return out + tc * AtA_loc(v, sc)
 
-            r0_ = rhs - lhs(yc)
-            p0 = r0_
-            rz0 = pdot(r0_, r0_)
-
-            def body(carry):
-                xv, r, p, rz, it, done = carry
-                Ap = lhs(p)
-                alpha = rz / jnp.maximum(pdot(p, Ap), 1e-30)
-                xv = xv + alpha * p
-                r = r - alpha * Ap
-                rz_new = pdot(r, r)
-                beta = rz_new / jnp.maximum(rz, 1e-30)
-                p = r + beta * p
-                done = rz_new < (cg_tol * cg_tol) * jnp.maximum(rz0, 1e-30)
-                return xv, r, p, rz_new, it + 1, done
-
-            def cond(carry):
-                *_, it, done = carry
-                return (it < cg_iter) & jnp.logical_not(done)
-
-            out = jax.lax.while_loop(
-                cond, body,
-                (yc, r0_, p0, rz0, jnp.int32(0), jnp.bool_(False)))
-            return out[0]
+            # PCG with the slab-local DCT preconditioner; cdiag approximates
+            # tau * mean(AtA(1)) by tau * sum(ker)^2 / prod(ratio) (blur
+            # preserves mass, decimation keeps one in prod(ratio) samples)
+            P_slab = precond_factory(tc * ata1_mean, rho * lc * lc)
+            return _pcg(lhs, rhs, yc, P_slab, psum2, cg_iter, cg_tol)
 
         ys = jax.vmap(y_update)(ys, z, w, xdat, scl, tau, lam)
 

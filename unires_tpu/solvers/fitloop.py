@@ -696,6 +696,8 @@ def make_fit_chunk(x, y, sett, K: int, extra_budget: float = 0.0):
     def chunk(state, xdats, taus, subdats):
         return cached(state, xdats, taus, subdats, geom_args)
 
+    chunk.stats = cached.stats  # trace/compile vs load split (fit-ll timing)
+
     # exposed for tests / debugging of the per-observation device updates
     chunk._debug = dict(rigid_obs=rigid_obs, scaling_obs=scaling_obs,
                         maps_from_q=maps_from_q, sub_infos=sub_infos,

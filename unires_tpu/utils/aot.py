@@ -239,20 +239,35 @@ def cached_call(tag: str, key_parts: Any, jitted: Callable,
     re-donated by the compiled executable itself). ``src_scope`` limits the
     source-hash part of the key to the modules that shape this program.
     """
+    stats = {"compile_s": 0.0, "load_s": 0.0, "hit": None}
     if not enabled():
-        return jitted
+        def passthrough(*args):
+            return jitted(*args)
+
+        passthrough.stats = stats
+        return passthrough
     key = cache_key(tag, key_parts, src_scope)
     state = {"fn": None}
 
     def wrapper(*args):
         fn = state["fn"]
         if fn is None:
+            import time as _time
+
+            t0 = _time.perf_counter()
             fn = load(tag, key)
             if fn is None:
+                t1 = _time.perf_counter()
                 compiled = jitted.lower(*args).compile()
+                stats["compile_s"] = _time.perf_counter() - t1
+                stats["hit"] = False
                 store(tag, key, compiled)
                 fn = compiled
+            else:
+                stats["load_s"] = _time.perf_counter() - t0
+                stats["hit"] = True
             state["fn"] = fn
         return fn(*args)
 
+    wrapper.stats = stats
     return wrapper
