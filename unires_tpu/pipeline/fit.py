@@ -308,8 +308,20 @@ def fit(x: XData, y: YData, sett):
             need_replan = escalate_on and veto_streak >= 2
             if need_replan:
                 # a saturated pose never moved, so re-centring alone would
-                # rebuild the same windows — escalate the budget instead
-                extra_budget += 0.05
+                # rebuild the same windows — escalate the budget instead.
+                # Capped: unbounded escalation widened every window and
+                # compiled ever-larger executables mid-run (the round-3
+                # 0.4 -> 1.1 GB growth that crashed the TPU worker).
+                if extra_budget >= 0.15:
+                    if sett.do_print >= 1:
+                        print("OBS: pose budget escalation capped at "
+                              f"+{extra_budget:.2f} rad; a pose is pinned at "
+                              "the window edge (alignment this coarse should "
+                              "come from coreg, not the fit loop)")
+                    need_replan = False
+                    veto_streak = 0
+                else:
+                    extra_budget += 0.05
             if sett.unified_rigid and replan_margin > 0 and not need_replan:
                 # rebuild ONLY when the current pose saturates the ACTIVE
                 # chunk's window plans — a drifted pose whose fresh plan
@@ -327,7 +339,10 @@ def fit(x: XData, y: YData, sett):
                         print(f"OBS: re-planning resampling windows at "
                               f"iteration {n_done} (pose drift, budget "
                               f"+{extra_budget:.2f} rad)")
-                    if len(chunk_cache) >= 3:  # bound device executables
+                    # bound device executables: at most TWO live chunks
+                    # (current + the one being built) — stacked programs
+                    # crashed the TPU worker at round-3 sizes
+                    while len(chunk_cache) >= 2:
                         chunk_cache.pop(next(iter(chunk_cache)))
                     chunk = make_fit_chunk(x, y, sett, K, extra_budget)
                     chunk_cache[sig_now] = chunk
