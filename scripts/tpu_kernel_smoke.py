@@ -10,8 +10,7 @@ XLA gather/scatter oracle on the same device.  Run from the verify recipe:
     PYTHONPATH=/root/repo:$PYTHONPATH python -u scripts/tpu_kernel_smoke.py
 
 Exits 0 and prints one PASS line per check, or exits 1 with the failing
-kernel + max abs error.  Inputs vary per call (the axon terminal result-
-caches identical executions).
+kernel + max abs error.
 """
 import sys
 import time
@@ -51,13 +50,21 @@ def main():
 
     def check(name, got, want, rel_atol=1e-4, grad=False):
         got, want = np.asarray(got), np.asarray(want)
+        scale = float(np.abs(want).max()) + 1e-6
         if grad:  # gradient is discontinuous at integer crossings
             diff = np.abs(got - want).max(axis=-1)
             err = float(np.percentile(diff, 99.9))
+            # the percentile alone could hide a corrupted partial edge tile
+            # in the tolerated 0.1% (~220 voxels): additionally require ZERO
+            # voxels beyond a loose absolute bound
+            gross = int((diff > 0.5 * scale).sum())
+            ok = err <= rel_atol * scale + 1e-5 and gross == 0
+            if gross:
+                print(f"  gross gradient errors: {gross} voxels > 0.5*scale",
+                      flush=True)
         else:
             err = float(np.abs(got - want).max())
-        scale = float(np.abs(want).max()) + 1e-6
-        ok = err <= rel_atol * scale + 1e-5
+            ok = err <= rel_atol * scale + 1e-5
         print(f"{'PASS' if ok else 'FAIL'} {name}: max|err|={err:.3e} "
               f"(scale {scale:.3e})", flush=True)
         if not ok:
@@ -81,11 +88,16 @@ def main():
         print(f"  ({tag} round: {time.time() - t0:.1f}s incl. compiles)",
               flush=True)
         # adjointness on hardware (catches asymmetric DMA/rotate bugs that
-        # happen to cancel against the oracle's own edge handling)
-        Ay = pallas_pull_shear(vol, M, out_dim, fplan)
-        Atv = pallas_push_shear(vals, M, Minv, in_dim, pplan)
-        lhs = float(jnp.sum(Ay * vals))
-        rhs = float(jnp.sum(Atv * vol))
+        # happen to cancel against the oracle's own edge handling); inputs
+        # PERTURBED vs the check() calls above so these are independent
+        # hardware executions (the axon terminal result-caches identical
+        # ones), and perturbed volumes keep the identity exact
+        volp = vol + jnp.float32(0.123)
+        valsp = vals + jnp.float32(0.456)
+        Ay = pallas_pull_shear(volp, M, out_dim, fplan)
+        Atv = pallas_push_shear(valsp, M, Minv, in_dim, pplan)
+        lhs = float(jnp.sum(Ay * valsp))
+        rhs = float(jnp.sum(Atv * volp))
         ok = abs(lhs - rhs) < 5e-5 * abs(lhs)
         print(f"{'PASS' if ok else 'FAIL'} adjoint/{tag}: "
               f"<Ay,v>={lhs:.6e} <Atv,y>={rhs:.6e}", flush=True)

@@ -93,6 +93,50 @@ def test_pull_and_grad_exact_at_capacity_edge():
         assert int((diff > 0.5).sum()) == 0
 
 
+def test_random_poses_within_capacity_exact():
+    """Property: ANY pose the capacity checks accept runs exactly.
+
+    The 2026-08 slack trim (plan shear_sl 2.5 -> 1.5 on the back of the
+    exact per-w anchor minimum) is safe only if this holds for arbitrary
+    floor alignments — random TRANSLATIONS are what move the sample
+    coordinates across integer boundaries, a surface the fixed-translation
+    edge bisection above never varies."""
+    in_dim, out_dim = (26, 30, 130), (24, 28, 130)
+    fplan = plan_pull_shear(in_dim, out_dim, NOMINAL[:3, :4])
+    pplan = plan_push_shear(out_dim, in_dim, NOMINAL[:3, :4])
+    assert fplan is not None and pplan is not None
+    rng = np.random.default_rng(7)
+    vol = jnp.asarray(rng.random(in_dim, dtype=np.float32))
+    vals = jnp.asarray(rng.random(out_dim, dtype=np.float32))
+    n_pull = n_push = 0
+    for trial in range(24):
+        mat = affine_matrix_classic(
+            rng.uniform(-2.5, 2.5, 3).tolist()
+            + rng.uniform(-0.06, 0.06, 3).tolist())
+        M = affine_to_M(mat)
+        Mnp = np.asarray(M)
+        M4 = np.eye(4)
+        M4[:3, :4] = Mnp
+        Minv_np = np.linalg.inv(M4)[:3, :4].astype(np.float32)
+        if _margins_pull(fplan, Mnp) > 0 and n_pull < 8:
+            n_pull += 1
+            with pltpu.force_tpu_interpret_mode():
+                got = pallas_pull_shear(vol, M, out_dim, fplan)
+            want = xla_pull(vol, M, out_dim)
+            assert np.allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5), (trial, mat)
+        if _margins_push(pplan, Minv_np) > 0 and n_push < 8:
+            n_push += 1
+            Minv = jnp.asarray(Minv_np)
+            with pltpu.force_tpu_interpret_mode():
+                got = pallas_push_shear(vals, M, Minv, in_dim, pplan)
+            want = xla_push(vals, M, in_dim)
+            scale = float(jnp.max(jnp.abs(want))) + 1e-6
+            assert np.allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4 * scale + 1e-5), (trial, mat)
+    assert n_pull >= 4 and n_push >= 4, (n_pull, n_push)
+
+
 def test_push_exact_at_capacity_edge():
     pplan = plan_push_shear(OUT_DIM, IN_DIM, NOMINAL[:3, :4])
     assert pplan is not None

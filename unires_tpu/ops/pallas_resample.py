@@ -123,8 +123,26 @@ def _masked_min(vals, mask):
     return jnp.min(jnp.where(mask, vals, _BIG))
 
 
-def _anchor_dma(mins, lo3, pad_dim, cover, vol_ref, scratch, sem):
-    """Per-tile DMA origin (x free, y 8-quantized, z pinned at 0) + start."""
+def _db_default() -> bool:
+    """Cross-tile double-buffered DMA (compiled TPU only; trace-time knob).
+
+    The DMA for tile t+1 is issued while tile t computes, hiding the
+    HBM->VMEM transfer that otherwise serializes ahead of the window loop
+    (~0.5-1 ms per volume pass, round-2 measurement; ROADMAP item 2).
+    Pallas TPU interpret mode DEADLOCKS on a DMA waited in a later grid
+    step than it was started (semaphore state is scoped per step by the
+    emulator — verified on jax 0.9.0), so the pattern is restricted to
+    compiled TPU runs. Env: UNIRES_TPU_DB=0 reverts to per-tile start/wait.
+    """
+    import os
+
+    if os.environ.get("UNIRES_TPU_DB", "1") in ("0", ""):
+        return False
+    return jax.default_backend() == "tpu"
+
+
+def _anchor_s(mins, lo3, pad_dim, cover):
+    """Per-tile DMA origin (x free, y 8-quantized, z pinned at 0)."""
     s = []
     for d, q in zip(range(3), (1, 8, 0)):
         sd = jnp.floor(mins[d]).astype(jnp.int32) - lo3[d] - 2
@@ -135,6 +153,12 @@ def _anchor_dma(mins, lo3, pad_dim, cover, vol_ref, scratch, sem):
             if q > 1:
                 sd = (sd // q) * q
         s.append(sd)
+    return s
+
+
+def _anchor_dma(mins, lo3, pad_dim, cover, vol_ref, scratch, sem):
+    """Single-buffered per-tile DMA: compute origin + start."""
+    s = _anchor_s(mins, lo3, pad_dim, cover)
     cp = pltpu.make_async_copy(
         vol_ref.at[pl.ds(s[0], cover[0]), pl.ds(s[1], cover[1]),
                    pl.ds(s[2], cover[2])],
@@ -143,9 +167,62 @@ def _anchor_dma(mins, lo3, pad_dim, cover, vol_ref, scratch, sem):
     return s, cp
 
 
-def _pull_kernel(tile, cover, win, in_dim, pad_dim, kernel_refs):
+def _pipelined_dma(m, tile, lo3, pad_dim, cover, vol_ref, scratch, sem):
+    """Cross-tile double-buffered DMA (see :func:`_db_default`).
+
+    ``scratch`` is (2,) + cover, ``sem`` a 2-element DMA semaphore array.
+    Grid programs run sequentially per core, so the copy started here for
+    tile p+1 lands before step p+1 waits on it. Returns
+    ``(s, wait, slot)``: the current tile's anchor, a wait callable, and
+    the scratch slot holding its block after ``wait()``.
+    """
+    GY, GZ = pl.num_programs(1), pl.num_programs(2)
+    GX = pl.num_programs(0)
+    i, j, k = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    p = (i * GY + j) * GZ + k
+    slot = jax.lax.rem(p, 2)
+
+    def s_of(ti, tj, tk):
+        of = [jnp.float32(ti * tile[0]), jnp.float32(tj * tile[1]),
+              jnp.float32(tk * tile[2])]
+        return _anchor_s(_corner_min(m, of, tile), lo3, pad_dim, cover)
+
+    def copy(sl, s):
+        return pltpu.make_async_copy(
+            vol_ref.at[pl.ds(s[0], cover[0]), pl.ds(s[1], cover[1]),
+                       pl.ds(s[2], cover[2])],
+            scratch.at[sl], sem.at[sl])
+
+    s = s_of(i, j, k)
+
+    @pl.when(p == 0)
+    def _():
+        copy(slot, s).start()
+
+    # next tile in linearized grid order (same traversal the TPU runs)
+    nk = k + 1
+    k2 = jnp.where(nk == GZ, 0, nk)
+    jc = jnp.where(nk == GZ, j + 1, j)
+    j2 = jnp.where(jc == GY, 0, jc)
+    i2 = jnp.where(jc == GY, i + 1, i)
+
+    @pl.when(i2 < GX)
+    def _():
+        copy(1 - slot, s_of(i2, j2, k2)).start()
+
+    def wait():
+        copy(slot, s).wait()
+
+    return s, wait, slot
+
+
+def _pull_kernel(tile, cover, win, in_dim, pad_dim, db, kernel_refs):
     """Body of the pull kernel. All sizes static; M dynamic via scalars."""
-    m_ref, vol_ref, out_ref, scratch, sem = kernel_refs
+    if db:
+        m_ref, vol_ref, out_ref, scratch, work, sem = kernel_refs
+    else:
+        m_ref, vol_ref, out_ref, scratch, sem = kernel_refs
+        work = scratch
     TX, TY, TZ = tile
     WX, WY, WZ = win
 
@@ -153,8 +230,14 @@ def _pull_kernel(tile, cover, win, in_dim, pad_dim, kernel_refs):
     origin = [pl.program_id(i) * tile[i] for i in range(3)]
     of = [jnp.float32(o) for o in origin]
 
-    mins = _corner_min(m, of, tile)
-    s, cp = _anchor_dma(mins, (0, 0, 0), pad_dim, cover, vol_ref, scratch, sem)
+    if db:
+        s, wait, slot = _pipelined_dma(m, tile, (0, 0, 0), pad_dim, cover,
+                                       vol_ref, scratch, sem)
+    else:
+        mins = _corner_min(m, of, tile)
+        s, cp = _anchor_dma(mins, (0, 0, 0), pad_dim, cover, vol_ref,
+                            scratch, sem)
+        wait, slot = cp.wait, None
 
     # per-element sample coordinates (fused iota + affine; int iota only —
     # Mosaic's tpu.iota has no float variant)
@@ -193,20 +276,21 @@ def _pull_kernel(tile, cover, win, in_dim, pad_dim, kernel_refs):
     wzs = [_axis_weight(rel[2], u0[2], frac[2], u, su[2] + u + base[2], in_dim[2])
            * fovf for u in range(WZ)]
 
-    cp.wait()
+    wait()
     # Modular rolls by the anchors: every nonzero-weight fetch has its true
     # source inside the block, so roll wrap-around only ever feeds
-    # zero-weighted elements. The rolled block goes BACK to the scratch ref
-    # so the x window can be a rolled (fori_loop) loop with dynamic-offset
-    # VMEM reads — fully unrolling all three window loops made trace time
-    # and executable size proportional to WX*WY*WZ (the round-2 fit chunk
-    # serialized to ~96 MB and cost ~45 s/process to load).
-    scr = scratch[:]
+    # zero-weighted elements. The rolled block goes BACK to a VMEM ref
+    # (``work``; the scratch itself when single-buffered) so the x window
+    # can be a rolled (fori_loop) loop with dynamic-offset VMEM reads —
+    # fully unrolling all three window loops made trace time and executable
+    # size proportional to WX*WY*WZ (the round-2 fit chunk serialized to
+    # ~96 MB and cost ~45 s/process to load).
+    scr = scratch[slot] if db else scratch[:]
     for d in range(3):
         # non-negative shifts only: hardware dynamic_rotate mishandles
         # negative shifts on the non-lane axes (verified on v5e)
         scr = pltpu.roll(scr, jnp.remainder(-u0[d], scr.shape[d]), d)
-    scratch[:] = scr
+    work[:] = scr
 
     def u_body(u, acc):
         wx = _axis_weight(rel[0], u0[0], frac[0], u, su[0] + u + base[0],
@@ -214,7 +298,7 @@ def _pull_kernel(tile, cover, win, in_dim, pad_dim, kernel_refs):
         for v in range(WY):
             wy = _axis_weight(rel[1], u0[1], frac[1], v, su[1] + v + base[1],
                               in_dim[1])
-            slab = scratch[pl.ds(u, TX), v:v + TY, :]
+            slab = work[pl.ds(u, TX), v:v + TY, :]
             tmp = jnp.zeros((TX, TY, TZ), jnp.float32)
             for w in range(WZ):
                 tmp = tmp + wzs[w] * slab[:, :, w:w + TZ]
@@ -241,7 +325,7 @@ def _axis_weight_grad(rel, u0, u, src_idx=None, dim=None):
     return w
 
 
-def _pull_grad_kernel(tile, cover, win, in_dim, pad_dim, kernel_refs):
+def _pull_grad_kernel(tile, cover, win, in_dim, pad_dim, db, kernel_refs):
     """Body of the pull_grad kernel: d(pulled)/d(g_d), three tile outputs.
 
     Shares the pull kernel's scaffolding (DMA anchor, modular rolls, static
@@ -250,7 +334,11 @@ def _pull_grad_kernel(tile, cover, win, in_dim, pad_dim, kernel_refs):
     reference ops.resample._pull_grad_gather (zero bound, no extrapolation,
     reference nitorch grid_grad at unires/_update.py:507).
     """
-    m_ref, vol_ref, gx_ref, gy_ref, gz_ref, scratch, sem = kernel_refs
+    if db:
+        m_ref, vol_ref, gx_ref, gy_ref, gz_ref, scratch, work, sem = kernel_refs
+    else:
+        m_ref, vol_ref, gx_ref, gy_ref, gz_ref, scratch, sem = kernel_refs
+        work = scratch
     TX, TY, TZ = tile
     WX, WY, WZ = win
 
@@ -258,8 +346,14 @@ def _pull_grad_kernel(tile, cover, win, in_dim, pad_dim, kernel_refs):
     origin = [pl.program_id(i) * tile[i] for i in range(3)]
     of = [jnp.float32(o) for o in origin]
 
-    mins = _corner_min(m, of, tile)
-    s, cp = _anchor_dma(mins, (0, 0, 0), pad_dim, cover, vol_ref, scratch, sem)
+    if db:
+        s, wait, slot = _pipelined_dma(m, tile, (0, 0, 0), pad_dim, cover,
+                                       vol_ref, scratch, sem)
+    else:
+        mins = _corner_min(m, of, tile)
+        s, cp = _anchor_dma(mins, (0, 0, 0), pad_dim, cover, vol_ref,
+                            scratch, sem)
+        wait, slot = cp.wait, None
 
     base = [
         jax.lax.broadcasted_iota(jnp.int32, (TX, TY, TZ), d) for d in range(3)
@@ -290,11 +384,11 @@ def _pull_grad_kernel(tile, cover, win, in_dim, pad_dim, kernel_refs):
     dzs = [_axis_weight_grad(rel[2], u0[2], u, su[2] + u + base[2], in_dim[2])
            * fovf for u in range(WZ)]
 
-    cp.wait()
-    scr = scratch[:]
+    wait()
+    scr = scratch[slot] if db else scratch[:]
     for d in range(3):
         scr = pltpu.roll(scr, jnp.remainder(-u0[d], scr.shape[d]), d)
-    scratch[:] = scr
+    work[:] = scr
 
     def u_body(u, accs):
         accx, accy, accz = accs
@@ -307,7 +401,7 @@ def _pull_grad_kernel(tile, cover, win, in_dim, pad_dim, kernel_refs):
                               in_dim[1])
             dy = _axis_weight_grad(rel[1], u0[1], v, su[1] + v + base[1],
                                    in_dim[1])
-            slab = scratch[pl.ds(u, TX), v:v + TY, :]
+            slab = work[pl.ds(u, TX), v:v + TY, :]
             tmp = jnp.zeros((TX, TY, TZ), jnp.float32)
             tmpd = jnp.zeros((TX, TY, TZ), jnp.float32)
             for w in range(WZ):
@@ -326,7 +420,7 @@ def _pull_grad_kernel(tile, cover, win, in_dim, pad_dim, kernel_refs):
     gz_ref[:] = accz
 
 
-def _pull_shear_kernel(tile, cover, win, in_dim, pad_dim, kernel_refs):
+def _pull_shear_kernel(tile, cover, win, in_dim, pad_dim, db, kernel_refs):
     """Pull kernel with a per-lane shear pre-pass (rotation-proof windows).
 
     The plain pull kernel's x/y windows grow with |M[d][2]| * TZ (128 lanes)
@@ -338,7 +432,11 @@ def _pull_shear_kernel(tile, cover, win, in_dim, pad_dim, kernel_refs):
     cover box. Weights are evaluated with the w loop OUTERMOST so the
     shear-corrected x/y weights hoist out of the inner accumulation.
     """
-    m_ref, vol_ref, out_ref, scratch, sem = kernel_refs
+    if db:
+        m_ref, vol_ref, out_ref, scratch, work, sem = kernel_refs
+    else:
+        m_ref, vol_ref, out_ref, scratch, sem = kernel_refs
+        work = scratch
     TX, TY, TZ = tile
     WX, WY, WZ = win
 
@@ -346,8 +444,14 @@ def _pull_shear_kernel(tile, cover, win, in_dim, pad_dim, kernel_refs):
     origin = [pl.program_id(i) * tile[i] for i in range(3)]
     of = [jnp.float32(o) for o in origin]
 
-    mins = _corner_min(m, of, tile)
-    s, cp = _anchor_dma(mins, (0, 0, 0), pad_dim, cover, vol_ref, scratch, sem)
+    if db:
+        s, wait, slot = _pipelined_dma(m, tile, (0, 0, 0), pad_dim, cover,
+                                       vol_ref, scratch, sem)
+    else:
+        mins = _corner_min(m, of, tile)
+        s, cp = _anchor_dma(mins, (0, 0, 0), pad_dim, cover, vol_ref,
+                            scratch, sem)
+        wait, slot = cp.wait, None
 
     base = [
         jax.lax.broadcasted_iota(jnp.int32, (TX, TY, TZ), d) for d in range(3)
@@ -380,26 +484,26 @@ def _pull_shear_kernel(tile, cover, win, in_dim, pad_dim, kernel_refs):
     tx_col = jnp.floor(gx * cvec.astype(jnp.float32) + 0.5).astype(jnp.int32)
     ty_col = jnp.floor(gy * cvec.astype(jnp.float32) + 0.5).astype(jnp.int32)
 
-    # anchors from the mid-window shear estimate (exactness is per-w below;
-    # the anchor only needs to be within the planned window of every truth)
+    # EXACT anchors: minimise rel - t over every w in the window (WZ cheap
+    # tile ops) instead of the round-3 mid-window estimate minus one — the
+    # saved hard "-1" is a whole window slot (plan_pull_shear shear_sl
+    # dropped 2.5 -> 1.5 on its back)
     kl = jax.lax.broadcasted_iota(jnp.int32, (1, 1, TZ), 2)
 
     def _t_at(gamma, woff):
         return jnp.floor(gamma * (kl + u0[2] + woff).astype(jnp.float32)
                          + 0.5).astype(jnp.int32)
 
-    t_mid_x = _t_at(gx, WZ // 2)
-    t_mid_y = _t_at(gy, WZ // 2)
-    # -1: t_w varies by up to one below the mid-window estimate (floor
-    # jitter across the small w window) — the anchor must sit under the
-    # LOWEST per-w shift or those elements fall outside the window
-    u0[0] = jnp.clip(_masked_min(rel[0] - t_mid_x, fov) - 1,
-                     -(cover[0] - 1), cover[0] - 1)
-    u0[1] = jnp.clip(_masked_min(rel[1] - t_mid_y, fov) - 1,
-                     -(cover[1] - 1), cover[1] - 1)
+    mnx = jnp.int32(_BIG)
+    mny = jnp.int32(_BIG)
+    for w in range(WZ):
+        mnx = jnp.minimum(mnx, _masked_min(rel[0] - _t_at(gx, w), fov))
+        mny = jnp.minimum(mny, _masked_min(rel[1] - _t_at(gy, w), fov))
+    u0[0] = jnp.clip(mnx, -(cover[0] - 1), cover[0] - 1)
+    u0[1] = jnp.clip(mny, -(cover[1] - 1), cover[1] - 1)
 
-    cp.wait()
-    scr = scratch[:]
+    wait()
+    scr = scratch[slot] if db else scratch[:]
     # shear first (per ORIGINAL z column), then the modular anchor rolls —
     # the z roll relabels columns but each keeps its own shear, so the
     # element-level bookkeeping above stays exact
@@ -412,7 +516,7 @@ def _pull_shear_kernel(tile, cover, win, in_dim, pad_dim, kernel_refs):
             scr = jnp.where(sel, rolled, scr)
     for d in range(3):
         scr = pltpu.roll(scr, jnp.remainder(-u0[d], scr.shape[d]), d)
-    scratch[:] = scr
+    work[:] = scr
 
     fovf = fov.astype(jnp.float32)
     acc = jnp.zeros((TX, TY, TZ), jnp.float32)
@@ -432,7 +536,7 @@ def _pull_shear_kernel(tile, cover, win, in_dim, pad_dim, kernel_refs):
                               s[0] + u0[0] + u + base[0] + tw_x, in_dim[0])
             wxz = wx * wz
             for v in range(WY):
-                slab = scratch[pl.ds(u, TX), v:v + TY, w:w + TZ]
+                slab = work[pl.ds(u, TX), v:v + TY, w:w + TZ]
                 acc = acc + (wxz * wys[v]) * slab
             return acc
 
@@ -440,7 +544,8 @@ def _pull_shear_kernel(tile, cover, win, in_dim, pad_dim, kernel_refs):
     out_ref[:] = acc
 
 
-def _pull_grad_shear_kernel(tile, cover, win, in_dim, pad_dim, kernel_refs):
+def _pull_grad_shear_kernel(tile, cover, win, in_dim, pad_dim, db,
+                            kernel_refs):
     """pull_grad with the per-lane shear pre-pass (see _pull_shear_kernel).
 
     Emits d(pulled)/d(g_d) for the three axes with the SAME
@@ -450,7 +555,11 @@ def _pull_grad_shear_kernel(tile, cover, win, in_dim, pad_dim, kernel_refs):
     its derivative (round-2 VERDICT missing item 6: the plain-plan pull_grad
     pinned the whole pose budget to its budget windows).
     """
-    m_ref, vol_ref, gx_ref, gy_ref, gz_ref, scratch, sem = kernel_refs
+    if db:
+        m_ref, vol_ref, gx_ref, gy_ref, gz_ref, scratch, work, sem = kernel_refs
+    else:
+        m_ref, vol_ref, gx_ref, gy_ref, gz_ref, scratch, sem = kernel_refs
+        work = scratch
     TX, TY, TZ = tile
     WX, WY, WZ = win
 
@@ -458,8 +567,14 @@ def _pull_grad_shear_kernel(tile, cover, win, in_dim, pad_dim, kernel_refs):
     origin = [pl.program_id(i) * tile[i] for i in range(3)]
     of = [jnp.float32(o) for o in origin]
 
-    mins = _corner_min(m, of, tile)
-    s, cp = _anchor_dma(mins, (0, 0, 0), pad_dim, cover, vol_ref, scratch, sem)
+    if db:
+        s, wait, slot = _pipelined_dma(m, tile, (0, 0, 0), pad_dim, cover,
+                                       vol_ref, scratch, sem)
+    else:
+        mins = _corner_min(m, of, tile)
+        s, cp = _anchor_dma(mins, (0, 0, 0), pad_dim, cover, vol_ref,
+                            scratch, sem)
+        wait, slot = cp.wait, None
 
     base = [
         jax.lax.broadcasted_iota(jnp.int32, (TX, TY, TZ), d) for d in range(3)
@@ -492,15 +607,16 @@ def _pull_grad_shear_kernel(tile, cover, win, in_dim, pad_dim, kernel_refs):
         return jnp.floor(gamma * (kl + u0[2] + woff).astype(jnp.float32)
                          + 0.5).astype(jnp.int32)
 
-    t_mid_x = _t_at(gx, WZ // 2)
-    t_mid_y = _t_at(gy, WZ // 2)
-    u0[0] = jnp.clip(_masked_min(rel[0] - t_mid_x, fov) - 1,
-                     -(cover[0] - 1), cover[0] - 1)
-    u0[1] = jnp.clip(_masked_min(rel[1] - t_mid_y, fov) - 1,
-                     -(cover[1] - 1), cover[1] - 1)
+    mnx = jnp.int32(_BIG)
+    mny = jnp.int32(_BIG)
+    for w in range(WZ):
+        mnx = jnp.minimum(mnx, _masked_min(rel[0] - _t_at(gx, w), fov))
+        mny = jnp.minimum(mny, _masked_min(rel[1] - _t_at(gy, w), fov))
+    u0[0] = jnp.clip(mnx, -(cover[0] - 1), cover[0] - 1)
+    u0[1] = jnp.clip(mny, -(cover[1] - 1), cover[1] - 1)
 
-    cp.wait()
-    scr = scratch[:]
+    wait()
+    scr = scratch[slot] if db else scratch[:]
     for axis, tcol in ((0, tx_col), (1, ty_col)):
         r_amt = jnp.remainder(-tcol, cover[axis])
         bits = max(1, (cover[axis] - 1).bit_length())
@@ -510,7 +626,7 @@ def _pull_grad_shear_kernel(tile, cover, win, in_dim, pad_dim, kernel_refs):
             scr = jnp.where(sel, rolled, scr)
     for d in range(3):
         scr = pltpu.roll(scr, jnp.remainder(-u0[d], scr.shape[d]), d)
-    scratch[:] = scr
+    work[:] = scr
 
     fovf = fov.astype(jnp.float32)
     accx = jnp.zeros((TX, TY, TZ), jnp.float32)
@@ -541,7 +657,7 @@ def _pull_grad_shear_kernel(tile, cover, win, in_dim, pad_dim, kernel_refs):
             wxz = wx * wz
             wxdz = wx * dz
             for v in range(WY):
-                slab = scratch[pl.ds(u, TX), v:v + TY, w:w + TZ]
+                slab = work[pl.ds(u, TX), v:v + TY, w:w + TZ]
                 accx = accx + (dxz * wys[v]) * slab
                 accy = accy + (wxz * dys[v]) * slab
                 accz = accz + (wxdz * wys[v]) * slab
@@ -554,7 +670,8 @@ def _pull_grad_shear_kernel(tile, cover, win, in_dim, pad_dim, kernel_refs):
     gz_ref[:] = accz
 
 
-def _push_kernel(tile, cover, win, lo, in_dim, pad_dim, out_dim, kernel_refs):
+def _push_kernel(tile, cover, win, lo, in_dim, pad_dim, out_dim, db,
+                 kernel_refs):
     """Body of the push kernel (exact adjoint of pull, gather-formulated).
 
     Output tile lives on the TARGET grid (dim = out_dim); the source values
@@ -562,7 +679,11 @@ def _push_kernel(tile, cover, win, lo, in_dim, pad_dim, out_dim, kernel_refs):
     anchor. Each candidate's weight is the pull weight of (source o ->
     target v), recomputed arithmetically.
     """
-    m_ref, vol_ref, out_ref, scratch, sem = kernel_refs
+    if db:
+        m_ref, vol_ref, out_ref, scratch, work, sem = kernel_refs
+    else:
+        m_ref, vol_ref, out_ref, scratch, sem = kernel_refs
+        work = scratch
     TX, TY, TZ = tile
     WX, WY, WZ = win
 
@@ -572,8 +693,13 @@ def _push_kernel(tile, cover, win, lo, in_dim, pad_dim, out_dim, kernel_refs):
     origin = [pl.program_id(i) * tile[i] for i in range(3)]
     of = [jnp.float32(o) for o in origin]
 
-    mins = _corner_min(mi, of, tile)
-    s, cp = _anchor_dma(mins, lo, pad_dim, cover, vol_ref, scratch, sem)
+    if db:
+        s, wait, slot = _pipelined_dma(mi, tile, lo, pad_dim, cover,
+                                       vol_ref, scratch, sem)
+    else:
+        mins = _corner_min(mi, of, tile)
+        s, cp = _anchor_dma(mins, lo, pad_dim, cover, vol_ref, scratch, sem)
+        wait, slot = cp.wait, None
 
     base = [
         jax.lax.broadcasted_iota(jnp.int32, (TX, TY, TZ), d) for d in range(3)
@@ -600,13 +726,13 @@ def _push_kernel(tile, cover, win, lo, in_dim, pad_dim, out_dim, kernel_refs):
     g0 = [m[d][0] * o0[0] + m[d][1] * o0[1] + m[d][2] * o0[2] + m[d][3]
           for d in range(3)]
 
-    cp.wait()
-    scr = scratch[:]
+    wait()
+    scr = scratch[slot] if db else scratch[:]
     for d in range(3):
         # non-negative shifts only: hardware dynamic_rotate mishandles
         # negative shifts on the non-lane axes (verified on v5e)
         scr = pltpu.roll(scr, jnp.remainder(-u0[d], scr.shape[d]), d)
-    scratch[:] = scr
+    work[:] = scr
 
     # Branch-free trilinear weight: hat(v - g) = max(0, 1 - |v - g|) yields
     # BOTH corner weights (1-f at the floor corner, f at floor+1, 0 outside)
@@ -635,7 +761,7 @@ def _push_kernel(tile, cover, win, lo, in_dim, pad_dim, out_dim, kernel_refs):
         uf = u.astype(jnp.float32)
         okxu = _ok(0, u)
         for v in range(WY):
-            slab = scratch[pl.ds(u, TX), v:v + TY, :]
+            slab = work[pl.ds(u, TX), v:v + TY, :]
             # T at (u, v, 0) per axis; w steps subtract m[d][2]
             Tuv = [T0[d] - (m[d][0] * uf + m[d][1] * v) for d in range(3)]
             okxy = okxu * oky[v]
@@ -656,7 +782,7 @@ def _push_kernel(tile, cover, win, lo, in_dim, pad_dim, out_dim, kernel_refs):
     out_ref[:] = acc
 
 
-def _push_shear_kernel(tile, cover, win, lo, in_dim, pad_dim, out_dim,
+def _push_shear_kernel(tile, cover, win, lo, in_dim, pad_dim, out_dim, db,
                        kernel_refs):
     """Push kernel with the per-lane shear pre-pass (see _pull_shear_kernel).
 
@@ -665,7 +791,11 @@ def _push_shear_kernel(tile, cover, win, lo, in_dim, pad_dim, out_dim,
     weights get the matching correction M[:, :2] @ t' folded into their T
     offsets. Windows then exclude the |Minv[d][2]|*TZ lane terms.
     """
-    m_ref, vol_ref, out_ref, scratch, sem = kernel_refs
+    if db:
+        m_ref, vol_ref, out_ref, scratch, work, sem = kernel_refs
+    else:
+        m_ref, vol_ref, out_ref, scratch, sem = kernel_refs
+        work = scratch
     TX, TY, TZ = tile
     WX, WY, WZ = win
 
@@ -674,8 +804,13 @@ def _push_shear_kernel(tile, cover, win, lo, in_dim, pad_dim, out_dim,
     origin = [pl.program_id(i) * tile[i] for i in range(3)]
     of = [jnp.float32(o) for o in origin]
 
-    mins = _corner_min(mi, of, tile)
-    s, cp = _anchor_dma(mins, lo, pad_dim, cover, vol_ref, scratch, sem)
+    if db:
+        s, wait, slot = _pipelined_dma(mi, tile, lo, pad_dim, cover,
+                                       vol_ref, scratch, sem)
+    else:
+        mins = _corner_min(mi, of, tile)
+        s, cp = _anchor_dma(mins, lo, pad_dim, cover, vol_ref, scratch, sem)
+        wait, slot = cp.wait, None
 
     base = [
         jax.lax.broadcasted_iota(jnp.int32, (TX, TY, TZ), d) for d in range(3)
@@ -703,12 +838,14 @@ def _push_shear_kernel(tile, cover, win, lo, in_dim, pad_dim, out_dim,
         return jnp.floor(gamma * (kl + u0[2] + woff).astype(jnp.float32)
                          + 0.5).astype(jnp.int32)
 
-    t_mid_x = _t_at(gx, WZ // 2)
-    t_mid_y = _t_at(gy, WZ // 2)
-    u0[0] = jnp.clip(jnp.min(rel[0] - t_mid_x) - 1 - lo[0],
-                     -(cover[0] - 1), cover[0] - 1)
-    u0[1] = jnp.clip(jnp.min(rel[1] - t_mid_y) - 1 - lo[1],
-                     -(cover[1] - 1), cover[1] - 1)
+    # EXACT anchors over every w in the window (see _pull_shear_kernel)
+    mnx = jnp.int32(_BIG)
+    mny = jnp.int32(_BIG)
+    for w in range(WZ):
+        mnx = jnp.minimum(mnx, jnp.min(rel[0] - _t_at(gx, w)))
+        mny = jnp.minimum(mny, jnp.min(rel[1] - _t_at(gy, w)))
+    u0[0] = jnp.clip(mnx - lo[0], -(cover[0] - 1), cover[0] - 1)
+    u0[1] = jnp.clip(mny - lo[1], -(cover[1] - 1), cover[1] - 1)
 
     # g at the UNSHEARED base candidate o0 = s + u0 + base; per-iteration
     # offsets add M @ (u + t'_x, v + t'_y, w)
@@ -716,8 +853,8 @@ def _push_shear_kernel(tile, cover, win, lo, in_dim, pad_dim, out_dim,
     g0 = [m[d][0] * o0[0] + m[d][1] * o0[1] + m[d][2] * o0[2] + m[d][3]
           for d in range(3)]
 
-    cp.wait()
-    scr = scratch[:]
+    wait()
+    scr = scratch[slot] if db else scratch[:]
     for axis, tcol in ((0, tx_col), (1, ty_col)):
         r_amt = jnp.remainder(-tcol, cover[axis])
         bits = max(1, (cover[axis] - 1).bit_length())
@@ -727,7 +864,7 @@ def _push_shear_kernel(tile, cover, win, lo, in_dim, pad_dim, out_dim,
             scr = jnp.where(sel, rolled, scr)
     for d in range(3):
         scr = pltpu.roll(scr, jnp.remainder(-u0[d], scr.shape[d]), d)
-    scratch[:] = scr
+    work[:] = scr
 
     vg = [(base[d] + origin[d]).astype(jnp.float32) for d in range(3)]
     T0 = [vg[d] - g0[d] for d in range(3)]
@@ -765,7 +902,7 @@ def _push_shear_kernel(tile, cover, win, lo, in_dim, pad_dim, out_dim,
                     wd = jnp.where((gd >= -0.5) & (gd <= out_dim[d] - 0.5),
                                    wd, 0.0)
                     wt = wt * wd
-                acc = acc + wt * scratch[pl.ds(u, TX), v:v + TY, w:w + TZ]
+                acc = acc + wt * work[pl.ds(u, TX), v:v + TY, w:w + TZ]
             return acc
 
         acc = _fori_win(WX, u_body, acc)
@@ -802,11 +939,12 @@ def _make_plan(in_dim, out_dim, span_fn, extent, extra, max_iters):
     pad_dim = (max(in_dim[0], cover[0]),
                _round_up(max(in_dim[1], cover[1]), 8),
                pad_z)
-    # VMEM sanity: scratch + the live tile temporaries (z-weight lists,
-    # accumulators, index fields — see the kernels' VMEM notes) must fit the
-    # 16 MB scoped-vmem budget with headroom for compiler temporaries
+    # VMEM sanity: scratch (2 double-buffer slots + the rolled work copy)
+    # + the live tile temporaries (z-weight lists, accumulators, index
+    # fields — see the kernels' VMEM notes) must fit the 16 MB scoped-vmem
+    # budget with headroom for compiler temporaries
     tile_bytes = int(np.prod(tile)) * 4
-    vmem_est = int(np.prod(cover)) * 4 + (2 * win[2] + 12) * tile_bytes
+    vmem_est = 3 * int(np.prod(cover)) * 4 + (2 * win[2] + 12) * tile_bytes
     if vmem_est > 10 * 1024 * 1024:
         return None
     return tile, cover, pad_dim, win
@@ -848,9 +986,13 @@ def plan_pull_shear(in_dim, out_dim, M_nominal, rot_budget: float = 0.05,
             min(8, _round_up(out_dim[1], 8)),
             min(128, _round_up(out_dim[2], 128)))
     TX, TY, TZ = tile
-    # 2.5 = shear floor-rounding (1) + anchor under-offset (1) + mid-window
-    # drift of t across the w window (0.5)
-    shear_sl = 2.5 + rot_budget * (TX + TY)
+    # 1.5 = the two floor jitters (sample-coordinate floor + integer-shear
+    # rounding; jointly < 2 and integer-spread-tight at +1 each, see the
+    # capacity derivation in plan_capacity_pull_shear) + 0.5 admission
+    # margin. The round-3 anchor needed a further +1 (mid-window estimate
+    # minus one); the exact per-w anchor minimum in the kernels bought that
+    # slot back.
+    shear_sl = 1.5 + rot_budget * (TX + TY)
     win = []
     for d in range(2):
         o = 1 - d
@@ -873,7 +1015,7 @@ def plan_pull_shear(in_dim, out_dim, M_nominal, rot_budget: float = 0.05,
     pad_dim = (max(in_dim[0], cover[0]),
                _round_up(max(in_dim[1], cover[1]), 8), pad_z)
     tile_bytes = int(np.prod(tile)) * 4
-    vmem_est = 2 * int(np.prod(cover)) * 4 + 12 * tile_bytes
+    vmem_est = 3 * int(np.prod(cover)) * 4 + 12 * tile_bytes
     if vmem_est > 10 * 1024 * 1024:
         return None
     return tile, cover, pad_dim, win
@@ -882,10 +1024,18 @@ def plan_pull_shear(in_dim, out_dim, M_nominal, rot_budget: float = 0.05,
 def plan_capacity_pull_shear(plan):
     """(tile, win_caps, cover_caps): the shear kernel is exact for dynamic M
     with per-axis SHEARED span (x/y: no lane term) <= win_caps[d] AND full
-    footprint span <= cover_caps[d] (z unconstrained: full axis resident)."""
+    footprint span <= cover_caps[d] (z unconstrained: full axis resident).
+
+    x/y derivation (exact per-w anchor): the window must hold the integer
+    spread of rel - t_w over (tile, w) plus the two interpolation slots.
+    The real-valued spread is sheared_span + |gamma| * WZ (lane slope times
+    the w window, |gamma| bounded by the cover caps at ~0.09, WZ <= 6 ->
+    <= 0.4 budgeted); the two floors (sample coordinate, integer shear)
+    add < 2 and the spread is integer, so win >= ceil(span + 0.4) + 2 + 1
+    suffices: caps = win - 3.4. z has a single floor: caps = win - 2."""
     tile, cover, pad_dim, win = plan
-    win_caps = (float(win[0] - 2) - 1.5, float(win[1] - 2) - 1.5,
-                float(win[2] - 2) - 0.5)
+    win_caps = (float(win[0]) - 3.4, float(win[1]) - 3.4,
+                float(win[2]) - 2.0)
     cover_caps = (float(cover[0] - tile[0] - 4),
                   float(cover[1] - 8 - tile[1] - 4))
     return tile, win_caps, cover_caps
@@ -925,7 +1075,9 @@ def plan_push_shear(in_dim, out_dim, M_nominal, rot_budget: float = 0.05,
             min(8, _round_up(out_dim[1], 8)),
             min(128, _round_up(out_dim[2], 128)))
     TX, TY, TZ = tile
-    shear_sl = 2.5 + rot_budget * (TX + TY)
+    # 1.5: see plan_pull_shear (exact per-w anchor bought back the round-3
+    # mid-window-estimate slot)
+    shear_sl = 1.5 + rot_budget * (TX + TY)
     win = []
     for d in range(2):
         o = 1 - d
@@ -949,7 +1101,7 @@ def plan_push_shear(in_dim, out_dim, M_nominal, rot_budget: float = 0.05,
     pad_dim = (max(in_dim[0], cover[0]),
                _round_up(max(in_dim[1], cover[1]), 8), pad_z)
     tile_bytes = int(np.prod(tile)) * 4
-    vmem_est = 2 * int(np.prod(cover)) * 4 + 12 * tile_bytes
+    vmem_est = 3 * int(np.prod(cover)) * 4 + 12 * tile_bytes
     if vmem_est > 10 * 1024 * 1024:
         return None
     return tile, cover, pad_dim, win, lo
@@ -958,11 +1110,17 @@ def plan_push_shear(in_dim, out_dim, M_nominal, rot_budget: float = 0.05,
 def plan_capacity_push_shear(plan):
     """(tile, win_caps, max_L1, cover_caps) for a shear push plan: exact for
     dynamic (M, Minv) with SHEARED inverse spans <= win_caps, L1 strictly
-    below lo+1, and full inverse footprint <= cover_caps (x/y)."""
+    below lo+1, and full inverse footprint <= cover_caps (x/y).
+
+    x/y: candidates occupy 2 lo + 2 slots per element on top of the integer
+    anchor-field spread (exact per-w minimum); the spread is bounded by
+    sheared_span + |gamma| * WZ (<= 0.4 budgeted) + the two floor jitters
+    (< 2, integer-tight at +1 each) -> caps = win - (2 lo + 2) - 1.4.
+    z has one floor -> caps = win - (2 lo + 2) - 0."""
     tile, cover, pad_dim, win, lo = plan
-    win_caps = (float(win[0] - 1 - (2 * lo[0] + 2)) - 1.5,
-                float(win[1] - 1 - (2 * lo[1] + 2)) - 1.5,
-                float(win[2] - 1 - (2 * lo[2] + 2)) - 0.5)
+    win_caps = (float(win[0] - (2 * lo[0] + 2)) - 1.4,
+                float(win[1] - (2 * lo[1] + 2)) - 1.4,
+                float(win[2] - (2 * lo[2] + 2)) - 0.0)
     l1_caps = tuple(float(l + 1) for l in lo)
     cover_caps = (float(cover[0] - tile[0] - 2 * lo[0] - 4),
                   float(cover[1] - 8 - tile[1] - 2 * lo[1] - 4))
@@ -1062,15 +1220,28 @@ def _pad_to(vol, pad_dim):
 # pallas_call wrappers
 # ---------------------------------------------------------------------------
 
+def _scratch_shapes(cover, db):
+    """Scratch layout: double-buffered (2 DMA slots + rolled work copy +
+    2 semaphores) or single-buffered (1 slot doubling as work + 1 sem)."""
+    if db:
+        return [pltpu.VMEM((2,) + tuple(cover), jnp.float32),
+                pltpu.VMEM(tuple(cover), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,))]
+    return [pltpu.VMEM(tuple(cover), jnp.float32),
+            pltpu.SemaphoreType.DMA(())]
+
+
 @functools.partial(jax.jit, static_argnames=("plan", "in_dim", "out_dim"))
 def _pull_call(vol, M, plan, in_dim, out_dim):
     tile, cover, pad_dim, win = plan
+    db = _db_default()
     volp = _pad_to(vol, pad_dim)
     grid = tuple(pl.cdiv(out_dim[d], tile[d]) for d in range(3))
-    kernel = functools.partial(_pull_kernel, tile, cover, win, in_dim, pad_dim)
+    kernel = functools.partial(_pull_kernel, tile, cover, win, in_dim,
+                               pad_dim, db)
 
-    def body(m_ref, vol_ref, out_ref, scratch, sem):
-        kernel((m_ref, vol_ref, out_ref, scratch, sem))
+    def body(m_ref, vol_ref, out_ref, *scr):
+        kernel((m_ref, vol_ref, out_ref) + scr)
 
     return pl.pallas_call(
         body,
@@ -1080,8 +1251,7 @@ def _pull_call(vol, M, plan, in_dim, out_dim):
             in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
             out_specs=pl.BlockSpec(tile, lambda i, j, k, sc: (i, j, k),
                                    memory_space=pltpu.VMEM),
-            scratch_shapes=[pltpu.VMEM(cover, jnp.float32),
-                            pltpu.SemaphoreType.DMA(())],
+            scratch_shapes=_scratch_shapes(cover, db),
         ),
         out_shape=jax.ShapeDtypeStruct(out_dim, jnp.float32),
         compiler_params=_COMPILER_PARAMS,
@@ -1091,13 +1261,14 @@ def _pull_call(vol, M, plan, in_dim, out_dim):
 @functools.partial(jax.jit, static_argnames=("plan", "in_dim", "out_dim"))
 def _pull_grad_call(vol, M, plan, in_dim, out_dim):
     tile, cover, pad_dim, win = plan
+    db = _db_default()
     volp = _pad_to(vol, pad_dim)
     grid = tuple(pl.cdiv(out_dim[d], tile[d]) for d in range(3))
     kernel = functools.partial(_pull_grad_kernel, tile, cover, win, in_dim,
-                               pad_dim)
+                               pad_dim, db)
 
-    def body(m_ref, vol_ref, gx_ref, gy_ref, gz_ref, scratch, sem):
-        kernel((m_ref, vol_ref, gx_ref, gy_ref, gz_ref, scratch, sem))
+    def body(m_ref, vol_ref, gx_ref, gy_ref, gz_ref, *scr):
+        kernel((m_ref, vol_ref, gx_ref, gy_ref, gz_ref) + scr)
 
     out_spec = pl.BlockSpec(tile, lambda i, j, k, sc: (i, j, k),
                             memory_space=pltpu.VMEM)
@@ -1108,8 +1279,7 @@ def _pull_grad_call(vol, M, plan, in_dim, out_dim):
             grid=grid,
             in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
             out_specs=[out_spec, out_spec, out_spec],
-            scratch_shapes=[pltpu.VMEM(cover, jnp.float32),
-                            pltpu.SemaphoreType.DMA(())],
+            scratch_shapes=_scratch_shapes(cover, db),
         ),
         out_shape=[jax.ShapeDtypeStruct(out_dim, jnp.float32)] * 3,
         compiler_params=_COMPILER_PARAMS,
@@ -1120,13 +1290,14 @@ def _pull_grad_call(vol, M, plan, in_dim, out_dim):
 @functools.partial(jax.jit, static_argnames=("plan", "in_dim", "out_dim"))
 def _push_call(vals, M, Minv, plan, in_dim, out_dim):
     tile, cover, pad_dim, win, lo = plan
+    db = _db_default()
     valsp = _pad_to(vals, pad_dim)
     grid = tuple(pl.cdiv(out_dim[d], tile[d]) for d in range(3))
     kernel = functools.partial(_push_kernel, tile, cover, win, lo, in_dim,
-                               pad_dim, out_dim)
+                               pad_dim, out_dim, db)
 
-    def body(m_ref, vol_ref, out_ref, scratch, sem):
-        kernel((m_ref, vol_ref, out_ref, scratch, sem))
+    def body(m_ref, vol_ref, out_ref, *scr):
+        kernel((m_ref, vol_ref, out_ref) + scr)
 
     scal = jnp.concatenate([M.reshape(-1), Minv.reshape(-1)])
     return pl.pallas_call(
@@ -1137,8 +1308,7 @@ def _push_call(vals, M, Minv, plan, in_dim, out_dim):
             in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
             out_specs=pl.BlockSpec(tile, lambda i, j, k, sc: (i, j, k),
                                    memory_space=pltpu.VMEM),
-            scratch_shapes=[pltpu.VMEM(cover, jnp.float32),
-                            pltpu.SemaphoreType.DMA(())],
+            scratch_shapes=_scratch_shapes(cover, db),
         ),
         out_shape=jax.ShapeDtypeStruct(out_dim, jnp.float32),
         compiler_params=_COMPILER_PARAMS,
@@ -1163,13 +1333,14 @@ def pallas_pull_grad(vol: Array, M: Array, out_dim, plan) -> Array:
 @functools.partial(jax.jit, static_argnames=("plan", "in_dim", "out_dim"))
 def _pull_shear_call(vol, M, plan, in_dim, out_dim):
     tile, cover, pad_dim, win = plan
+    db = _db_default()
     volp = _pad_to(vol, pad_dim)
     grid = tuple(pl.cdiv(out_dim[d], tile[d]) for d in range(3))
     kernel = functools.partial(_pull_shear_kernel, tile, cover, win, in_dim,
-                               pad_dim)
+                               pad_dim, db)
 
-    def body(m_ref, vol_ref, out_ref, scratch, sem):
-        kernel((m_ref, vol_ref, out_ref, scratch, sem))
+    def body(m_ref, vol_ref, out_ref, *scr):
+        kernel((m_ref, vol_ref, out_ref) + scr)
 
     return pl.pallas_call(
         body,
@@ -1179,8 +1350,7 @@ def _pull_shear_call(vol, M, plan, in_dim, out_dim):
             in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
             out_specs=pl.BlockSpec(tile, lambda i, j, k, sc: (i, j, k),
                                    memory_space=pltpu.VMEM),
-            scratch_shapes=[pltpu.VMEM(cover, jnp.float32),
-                            pltpu.SemaphoreType.DMA(())],
+            scratch_shapes=_scratch_shapes(cover, db),
         ),
         out_shape=jax.ShapeDtypeStruct(out_dim, jnp.float32),
         compiler_params=_COMPILER_PARAMS,
@@ -1195,13 +1365,14 @@ def pallas_pull_shear(vol: Array, M: Array, out_dim, plan) -> Array:
 @functools.partial(jax.jit, static_argnames=("plan", "in_dim", "out_dim"))
 def _pull_grad_shear_call(vol, M, plan, in_dim, out_dim):
     tile, cover, pad_dim, win = plan
+    db = _db_default()
     volp = _pad_to(vol, pad_dim)
     grid = tuple(pl.cdiv(out_dim[d], tile[d]) for d in range(3))
     kernel = functools.partial(_pull_grad_shear_kernel, tile, cover, win,
-                               in_dim, pad_dim)
+                               in_dim, pad_dim, db)
 
-    def body(m_ref, vol_ref, gx_ref, gy_ref, gz_ref, scratch, sem):
-        kernel((m_ref, vol_ref, gx_ref, gy_ref, gz_ref, scratch, sem))
+    def body(m_ref, vol_ref, gx_ref, gy_ref, gz_ref, *scr):
+        kernel((m_ref, vol_ref, gx_ref, gy_ref, gz_ref) + scr)
 
     out_spec = pl.BlockSpec(tile, lambda i, j, k, sc: (i, j, k),
                             memory_space=pltpu.VMEM)
@@ -1212,8 +1383,7 @@ def _pull_grad_shear_call(vol, M, plan, in_dim, out_dim):
             grid=grid,
             in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
             out_specs=[out_spec, out_spec, out_spec],
-            scratch_shapes=[pltpu.VMEM(cover, jnp.float32),
-                            pltpu.SemaphoreType.DMA(())],
+            scratch_shapes=_scratch_shapes(cover, db),
         ),
         out_shape=[jax.ShapeDtypeStruct(out_dim, jnp.float32)] * 3,
         compiler_params=_COMPILER_PARAMS,
@@ -1231,13 +1401,14 @@ def pallas_pull_grad_shear(vol: Array, M: Array, out_dim, plan) -> Array:
 @functools.partial(jax.jit, static_argnames=("plan", "in_dim", "out_dim"))
 def _push_shear_call(vals, M, Minv, plan, in_dim, out_dim):
     tile, cover, pad_dim, win, lo = plan
+    db = _db_default()
     valsp = _pad_to(vals, pad_dim)
     grid = tuple(pl.cdiv(out_dim[d], tile[d]) for d in range(3))
     kernel = functools.partial(_push_shear_kernel, tile, cover, win, lo,
-                               in_dim, pad_dim, out_dim)
+                               in_dim, pad_dim, out_dim, db)
 
-    def body(m_ref, vol_ref, out_ref, scratch, sem):
-        kernel((m_ref, vol_ref, out_ref, scratch, sem))
+    def body(m_ref, vol_ref, out_ref, *scr):
+        kernel((m_ref, vol_ref, out_ref) + scr)
 
     scal = jnp.concatenate([M.reshape(-1), Minv.reshape(-1)])
     return pl.pallas_call(
@@ -1248,8 +1419,7 @@ def _push_shear_call(vals, M, Minv, plan, in_dim, out_dim):
             in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
             out_specs=pl.BlockSpec(tile, lambda i, j, k, sc: (i, j, k),
                                    memory_space=pltpu.VMEM),
-            scratch_shapes=[pltpu.VMEM(cover, jnp.float32),
-                            pltpu.SemaphoreType.DMA(())],
+            scratch_shapes=_scratch_shapes(cover, db),
         ),
         out_shape=jax.ShapeDtypeStruct(out_dim, jnp.float32),
         compiler_params=_COMPILER_PARAMS,

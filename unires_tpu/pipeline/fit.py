@@ -292,12 +292,15 @@ def fit(x: XData, y: YData, sett):
             n_sat_seen = int(state.n_sat)
             escalate_on = bool(getattr(sett, "budget_escalate", True))
             veto_streak = veto_streak + 1 if ds > 0 else 0
-            if dv > 0 and sett.do_print >= 1:
+            if dv > 0 and (sett.do_print >= 1 or debug_timing):
+                import sys as _sys
+
                 print(f"OBS: {dv} capacity-vetoed rigid candidate(s) "
                       f"({ds} saturated line search(es)) in chunk ending at "
                       f"iteration {n_done}"
                       + (" -> re-planning"
-                         if escalate_on and veto_streak >= 2 else ""))
+                         if escalate_on and veto_streak >= 2 else ""),
+                      file=_sys.stdout if sett.do_print >= 1 else _sys.stderr)
             if os.environ.get("UNIRES_TPU_DEBUG_Q"):
                 qs = np.asarray(state.q, np.float64)
                 print(f"[q@{n_done}] " + "; ".join(

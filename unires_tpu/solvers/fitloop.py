@@ -455,19 +455,46 @@ def make_fit_chunk(x, y, sett, K: int, extra_budget: float = 0.0):
                                                 inv44(M4s)[:3, :4])
                 return okv
 
+            # ---- capacity trust region (round-4 bench crash root cause):
+            # an ill-conditioned GN solve can emit a HUGE delta; 6 Armijo
+            # halvings then never re-enter the window budget, every
+            # candidate is vetoed, and the saturation heuristic mis-read
+            # "pose pinned at the budget edge" — triggering a mid-run
+            # budget-escalating re-plan (264 s re-trace, 4x slower chunk,
+            # and a worker crash from stacked executables). Pre-scale the
+            # step OUTSIDE the line search (capacity checks only, no ll
+            # evaluations — scalar ops, ~free) so Armijo always starts
+            # inside the budget and its 6 evaluations compare real
+            # objectives. Saturation below then means the pose ITSELF is
+            # pinned (even a 2^-16 step leaves capacity) — the only case
+            # budget escalation is for. ----
+            def pre_cond(carry):
+                _, it, okc, _ = carry
+                return (~okc) & (it < 16)
+
+            def pre_body(carry):
+                step, it, _, nv = carry
+                step = step * 0.5
+                return (step, it + 1, cand_ok(q_i - step * delta), nv + 1)
+
+            step0, _, ok_pre, n_veto = jax.lax.while_loop(
+                pre_cond, pre_body,
+                (jnp.float32(1.0), jnp.int32(0), cand_ok(q_i - delta),
+                 jnp.int32(0)))
+
             def ls_body(carry):
                 step, it, acc, q_best, ll_best, nv = carry
                 cand = q_i - step * delta
                 Rc = se3_expm(cand, basis)
                 Mc = (pre @ Rc @ post)[:3, :4]
+                # belt-and-braces: halving from an in-capacity step0 stays
+                # in capacity for every practical map, but the kernels must
+                # NEVER run beyond their plans — keep the guard
                 cap = cand_ok(cand)
                 llc = jnp.where(cap, match_ll(Mc), jnp.inf)
                 ok = llc < ll_best
                 q_best = jnp.where(ok, cand, q_best)
                 ll_best = jnp.where(ok, llc, ll_best)
-                # count capacity-vetoed candidates (VERDICT r2 item 4: the
-                # pose budget must be OBSERVABLE; the host logs the count and
-                # auto-replans when it saturates in consecutive chunks)
                 nv = nv + (~cap).astype(jnp.int32)
                 return step * 0.5, it + 1, acc | ok, q_best, ll_best, nv
 
@@ -477,16 +504,12 @@ def make_fit_chunk(x, y, sett, K: int, extra_budget: float = 0.0):
 
             _, _, acc_any, q_new, _, n_veto = jax.lax.while_loop(
                 ls_cond, ls_body,
-                (jnp.float32(1.0), jnp.int32(0), jnp.bool_(False), q_i, ll,
-                 jnp.int32(0)))
-            # saturation = the line search accepted NOTHING and at least one
-            # candidate was capacity-vetoed: the pose is pinned against the
-            # window budget. An overshoot veto at step 1 followed by an
-            # accepted half-step is NORMAL GN behaviour and must not trigger
-            # budget escalation (round-3 bench: raw-veto-count escalation
-            # fired on routine overshoots, re-tracing mid-run and widening
-            # every window for nothing).
-            sat = (~acc_any) & (n_veto > 0)
+                (step0, jnp.int32(0), jnp.bool_(False), q_i, ll, n_veto))
+            # saturation = nothing accepted AND the trust-region pre-scale
+            # could not re-enter the window budget: the pose is genuinely
+            # pinned at the budget edge (the only case the host's
+            # budget-escalating re-plan is for)
+            sat = (~acc_any) & (~ok_pre)
             if debug:
                 Rd = se3_expm(q_i - delta, basis)
                 Md = (pre @ Rd @ post)[:3, :4]
@@ -687,7 +710,7 @@ def make_fit_chunk(x, y, sett, K: int, extra_budget: float = 0.0):
         env={k: os.environ.get(k, "") for k in
              ("UNIRES_TPU_SHEAR", "UNIRES_TPU_SHEAR_GRAD",
               "UNIRES_TPU_PRECOND", "UNIRES_TPU_WINDOW_ROLLED",
-              "UNIRES_TPU_BACKEND")},
+              "UNIRES_TPU_BACKEND", "UNIRES_TPU_DB")},
     )
     cached = cached_call(
         "fitchunk", key_parts, jitted,
