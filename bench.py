@@ -91,11 +91,17 @@ def main():
     startup_s = (ct[0][1] - ct[0][0] * steady_per_iter
                  if ct and steady_per_iter else None)
 
-    # per-kernel timings + achieved HBM bandwidth (bytes moved / time);
-    # inputs VARY per call (the axon terminal result-caches identical
-    # executions) and each kernel is taken from the production suites
+    # per-kernel timings + achieved HBM bandwidth (bytes moved / time).
+    # Each kernel runs CHAIN times inside one jitted lax.scan whose input
+    # depends on the previous step's output: a single dispatch over the
+    # axon tunnel (a lone block_until_ready round-trip costs ~30 ms, which
+    # used to swamp the kernel itself), serialized steps, varying inputs
+    # (the terminal result-caches identical executions).
     kernels = {}
+    CHAIN = 20
     try:
+        from jax import lax
+
         from unires_tpu.models.forward import make_obs_suite, obs_dyn_args
 
         po0 = x[0][0].po
@@ -103,6 +109,15 @@ def main():
         M0, Minv0 = obs_dyn_args(po0, sett.method)
         vol_y = jnp.asarray(y[0].dat)
         vol_yx = suite["pull"](vol_y, M0)
+
+        def chain(fn):
+            def body(c, _):
+                out = fn(vol_y + c)
+                return jnp.float32(1e-6) * jnp.mean(out), None
+
+            return jax.jit(lambda: lax.scan(
+                body, jnp.float32(0.0), None, length=CHAIN)[0])
+
         for name, fn, out_elems in (
                 ("pull", lambda v: suite["pull"](v, M0), np.prod(po0.dim_yx)),
                 ("push", lambda v: suite["push"](
@@ -110,13 +125,14 @@ def main():
                  np.prod(po0.dim_y)),
                 ("pull_grad", lambda v: suite["pull_grad"](v, M0),
                  3 * np.prod(po0.dim_yx))):
+            run = chain(fn)
+            jax.block_until_ready(run())  # compile
             ts = []
-            for i in range(5):
-                vi = vol_y + jnp.float32(1e-6 * (i + 1))
+            for _ in range(3):
                 t1 = time.time()
-                jax.block_until_ready(fn(vi))
+                jax.block_until_ready(run())
                 ts.append(time.time() - t1)
-            dt = min(ts)
+            dt = (min(ts)) / CHAIN
             bytes_moved = 4.0 * (np.prod(po0.dim_y) + float(out_elems))
             kernels[name] = {"ms": round(dt * 1e3, 2),
                              "gbps": round(bytes_moved / dt / 1e9, 1)}

@@ -57,14 +57,17 @@ class Settings:
     rho_scl: float = 1.0  # scaling of estimated rho
     rigid_basis: Optional[Any] = None  # derived: se(3) basis
     rigid_mod: int = 1  # update rigid every rigid_mod iterations
-    rigid_gauge_anchor: bool = False  # True: mean-centre the pose gauge each
-    # rigid round (subtract the mean q, reference mean_correct semantics,
-    # unires/_update.py:243-265). False (default, matching the reference fit
-    # loop's mean_correct=False at unires/run.py:131): free gauge — all
-    # observations update; the capacity veto + saturation self-healing guard
-    # the Pallas window budget. Measured (round 3): the free gauge recovers
-    # relative poses more accurately AND faster than either centring or the
-    # round-2 hard anchor (which pinned poses at the budget edge).
+    rigid_gauge_anchor: bool = True  # True (default): mean-centre the pose
+    # gauge each rigid round (subtract the mean q, the reference's
+    # mean_correct semantics, unires/_update.py:243-265). False: free gauge
+    # (the reference fit loop's literal mean_correct=False at run.py:131).
+    # Measured at FULL scale (round 4, 181x217x181 3-channel bench): the
+    # free gauge lets the pose/recon pair ratchet along the gauge manifold
+    # over ~150 interleaved rigid rounds — final poses drifted to ~16 mm /
+    # 0.1 rad common mode and PSNR vs ground truth fell 31.4 -> 28.0 dB
+    # with an IDENTICAL final NLL (the drift is invisible to the
+    # objective). Mean-centring restores 31.1 dB. Round 3's contrary
+    # small-scale measurement did not transfer.
     replan_margin: float = 0.0  # >0: re-plan Pallas windows when headroom < this
     budget_escalate: bool = True  # auto-widen window plans when a rigid line
     # search saturates its capacity budget in consecutive chunks (self-healing
