@@ -65,8 +65,10 @@ def test_rigid_recovery_on_device():
     _, R, _, obj, _ = fit_solver(x, y, sett)
     # only the RELATIVE pose is identifiable: the recon + both poses form a
     # gauge family (the reference relies on coreg to pin the global frame)
-    R0 = expm(x[0][0].rigid_q, affine_basis("SE"))
-    R1 = expm(x[0][1].rigid_q, affine_basis("SE"))
+    # po.rigid holds the WORLD transform (centre-conjugated q since round
+    # 4, geometry.rigid_from_q) — expm(rigid_q) alone is no longer it
+    R0 = np.asarray(x[0][0].po.rigid, np.float64)
+    R1 = np.asarray(x[0][1].po.rigid, np.float64)
     rel = R1 @ np.linalg.inv(R0)
     # 8e-3 rad: with gauge mean-centring (default since round 4 — the
     # full-scale free gauge drifted 3.4 dB of PSNR, settings.py) both

@@ -85,7 +85,8 @@ def test_rigid_update_recovers_true_pose():
     assert lls[-1] < 0.5 * lls[0], lls
     from unires_tpu.geometry import affine_matrix_classic
 
-    R_est = expm(o.rigid_q, sett.rigid_basis)
+    # po.rigid is the world transform (centre-conjugated q, round 4)
+    R_est = np.asarray(o.po.rigid, np.float64)
     R_true = affine_matrix_classic(rigid_true)
     assert np.allclose(R_est[:3, 3], R_true[:3, 3], atol=0.05), (
         R_est[:3, 3], R_true[:3, 3])

@@ -125,10 +125,34 @@ def dexpm(q, basis):
     return R, dR
 
 
-def rigid_from_q(q, basis=None) -> np.ndarray:
+def fov_centre(mat, dim) -> np.ndarray:
+    """World coordinates of the FOV centre voxel ((d-1)/2 per axis)."""
+    mat = np.asarray(mat, np.float64)
+    v = np.array([(float(d) - 1.0) / 2.0 for d in dim] + [1.0], np.float64)
+    return (mat @ v)[:3]
+
+
+def rigid_from_q(q, basis=None, centre=None) -> np.ndarray:
+    """World rigid transform of pose parameters q.
+
+    With ``centre`` (the recon-FOV world centre, :func:`fov_centre`) the
+    exponential is CONJUGATED by the centre translation,
+    ``T(c) @ expm(q) @ T(-c)``: rotations act about the volume centre
+    instead of the world origin. On corner-origin affines (e.g. plain
+    diagonal voxel-size mats) origin rotations couple to translations
+    through a ~150 mm lever arm, producing near-flat screw directions in
+    the GN Hessian along which the pose random-walks (round-4 bench:
+    +-10 mm q swings at constant NLL). The reference never conjugates
+    (nitorch _expm at unires/_update.py:618) but its demo data carry
+    anatomically-centred affines, which hides the conditioning problem.
+    """
     if basis is None:
         basis = affine_basis("SE")
-    return expm(q, basis)
+    R = expm(q, basis)
+    if centre is not None:
+        R = (affine_translation(centre) @ R
+             @ affine_translation(-np.asarray(centre)))
+    return R
 
 
 # ---------------------------------------------------------------------------

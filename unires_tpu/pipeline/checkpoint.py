@@ -62,9 +62,11 @@ def restore_into(ckpt: dict, x, y):
         for o in xc:
             o.rigid_q = np.asarray(ckpt["rigid_q"][i], np.float64)
             o.po.scl = float(ckpt["scls"][i])
-            from ..geometry import affine_basis, expm
+            from ..geometry import affine_basis, fov_centre, rigid_from_q
 
-            o.po.rigid = expm(o.rigid_q, affine_basis("SE"))
+            o.po.rigid = rigid_from_q(
+                o.rigid_q, affine_basis("SE"),
+                fov_centre(y[0].mat, y[0].dim))
             i += 1
     state = dict(
         rho=float(ckpt["rho"]),

@@ -97,15 +97,19 @@ def _gather_subdats(x, sett):
 
 def _sync_state(x, y, sett, state: FitState):
     """Write device state back into the pipeline structs."""
+    from ..geometry import fov_centre, rigid_from_q
+
     qs = np.asarray(state.q, np.float64)
     scls = np.asarray(state.scl, np.float64)
     basis = sett.rigid_basis
+    centre = fov_centre(y[0].mat, y[0].dim)
     i = 0
     for xc in x:
         for o in xc:
             o.rigid_q = qs[i]
             if basis is not None:
-                o.po.rigid = expm(qs[i], basis)
+                # centre-conjugated world transform (geometry.rigid_from_q)
+                o.po.rigid = rigid_from_q(qs[i], basis, centre)
             o.po.scl = float(scls[i])
             i += 1
     cnt_scl = int(state.cnt_scl)
@@ -377,12 +381,18 @@ def fit(x: XData, y: YData, sett):
                     msk = msk & (g >= 0) & (g < o.dim[d])
             y[c].dat = jnp.where(msk, y[c].dat, 0.0)
 
-    # -- rigid matrices (reference run.py:195-200) --
+    # -- rigid matrices (reference run.py:195-200); centre-conjugated
+    # world transforms, identical as transforms to the reference's
+    # expm(q) output --
+    from ..geometry import fov_centre as _fov_centre
+    from ..geometry import rigid_from_q as _rigid_from_q
+
+    _centre = _fov_centre(y[0].mat, y[0].dim)
     cnt = 0
     for c in range(C):
         for o in x[c]:
             if o.rigid_q is not None and sett.rigid_basis is not None:
-                R[cnt] = expm(o.rigid_q, sett.rigid_basis)
+                R[cnt] = _rigid_from_q(o.rigid_q, sett.rigid_basis, _centre)
             cnt += 1
 
     n_done = len(obj_trace)

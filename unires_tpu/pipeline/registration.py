@@ -348,7 +348,7 @@ def _nmi_opt_cached(fix_dim, mov_dim, bins, chunk, group, plan, iters):
         l0, g0 = vg(q0)
 
         def body(carry):
-            q, loss, g, step, it = carry
+            q, loss, g, step, it, no_prog = carry
             cand = q - step * scale * scale * g  # diag preconditioner
             new_loss, new_g = vg(cand)
             if cap is not None:
@@ -356,18 +356,28 @@ def _nmi_opt_cached(fix_dim, mov_dim, bins, chunk, group, plan, iters):
                 new_loss = jnp.where(cap((pre4 @ Rc @ post4)[:3, :4]),
                                      new_loss, jnp.inf)
             accept = new_loss < loss
+            # no-progress stop (round-4 init_s work): without it every
+            # level burned its full `iters` budget — ~150 pull+grad+NMI
+            # evaluations per mover per level, ~50 s of the warm init.
+            # An iteration "progresses" only if it improves the loss by
+            # >1e-5 relative; 12 progress-free iterations end the level
+            # (the adaptive 1.4x/0.5x step means genuine descent rarely
+            # idles that long).
+            prog = accept & (loss - new_loss > 1e-5 * jnp.abs(loss))
+            no_prog = jnp.where(prog, 0, no_prog + 1)
             q = jnp.where(accept, cand, q)
             loss = jnp.where(accept, new_loss, loss)
             g = jnp.where(accept, new_g, g)
             step = jnp.where(accept, step * 1.4, step * 0.5)
-            return q, loss, g, step, it + 1
+            return q, loss, g, step, it + 1, no_prog
 
         def cond_f(carry):
-            *_, step, it = carry
-            return (it < iters) & (step > 1e-7)
+            *_, step, it, no_prog = carry
+            return (it < iters) & (step > 1e-7) & (no_prog < 12)
 
         out = jax.lax.while_loop(
-            cond_f, body, (q0, l0, g0, jnp.float32(100.0), jnp.int32(0)))
+            cond_f, body,
+            (q0, l0, g0, jnp.float32(100.0), jnp.int32(0), jnp.int32(0)))
         return out[0], out[1]
 
     # AOT executable cache (round-2 VERDICT item 2: init < 10 s): a warm

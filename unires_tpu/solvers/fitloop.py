@@ -148,14 +148,29 @@ def make_fit_chunk(x, y, sett, K: int, extra_budget: float = 0.0):
     # this, coreg float jitter changed the key every run and each round-3
     # bench attempt recompiled (and stacked) a fresh multi-hundred-MB
     # executable. ----
+    # Conjugate the pose by the recon-FOV world centre: q rotations act
+    # about the volume centre (see geometry.rigid_from_q — on corner-origin
+    # affines the unconjugated parameterization has near-flat screw
+    # directions that destabilized the round-4 full-scale rigid chain).
+    # T(c)/T(-c) fold into pre/post, so the chunk math — capacity checks,
+    # dRq chain rule, maps_from_q — is untouched.
+    from ..geometry import affine_translation as _aff_T
+    from ..geometry import fov_centre as _fov_centre
+
+    c_world = _fov_centre(y[0].mat, dim_y)
+    Tc = _aff_T(c_world)
+    Tc_inv = _aff_T(-c_world)
+
     pres_np, posts_np, suites = [], [], []
     sub_pres_np, sub_posts_np = [], []
     sub_infos = []  # (suite_sub, dims, center, cscale, sub_is_main)
     for (c, n) in obs:
         o = x[c][n]
         po = o.po
-        pre = np.linalg.inv(np.asarray(po.mat_y, np.float64))
-        post = po.mat_yx if method == "super-resolution" else po.mat_x
+        pre = np.linalg.inv(np.asarray(po.mat_y, np.float64)) @ Tc
+        post = Tc_inv @ np.asarray(
+            po.mat_yx if method == "super-resolution" else po.mat_x,
+            np.float64)
         pres_np.append(pre.astype(np.float32))
         posts_np.append(np.asarray(post, np.float64).astype(np.float32))
         suites.append(make_obs_suite(po, method, extra_budget=extra_budget))
@@ -180,7 +195,7 @@ def make_fit_chunk(x, y, sett, K: int, extra_budget: float = 0.0):
             center = tuple((d - 1) / 2.0 for d in dim_m)
             cscale = tuple(max((d - 1) / 2.0, 1.0) for d in dim_m)
             sub_pres_np.append(pres_np[-1])
-            sub_posts_np.append(np.asarray(mat_sub, np.float64)
+            sub_posts_np.append((Tc_inv @ np.asarray(mat_sub, np.float64))
                                 .astype(np.float32))
             sub_infos.append(dict(
                 suite=suite_sub, po=po_use,
@@ -215,6 +230,10 @@ def make_fit_chunk(x, y, sett, K: int, extra_budget: float = 0.0):
     do_scaling = bool(sett.scaling)
     do_rigid = bool(sett.unified_rigid)
     gauge_anchor = bool(getattr(sett, "rigid_gauge_anchor", True))
+    # units for the gauge-drift threshold: 1 mm translation ~ 10 mrad
+    # rotation (comparable image-space displacement at ~100 mm FOV radius)
+    q_gauge_scale = jnp.asarray([1.0, 1.0, 1.0, 0.01, 0.01, 0.01],
+                                jnp.float32)
     rigid_mod = max(int(sett.rigid_mod), 1)
     num_ls = 6  # reference run.py:119,131 line-search budget
     ct_flags = [x[c][n].ct for (c, n) in obs]
@@ -325,8 +344,12 @@ def make_fit_chunk(x, y, sett, K: int, extra_budget: float = 0.0):
                 (jnp.float32(1.0), jnp.int32(0), jnp.bool_(False), s0, ll0))
             return s_new
 
-    # ---- per-observation rigid GN (reference _update_rigid_channel) ----
-    def rigid_obs(ys_c, dat_x, q_i, s_i, tau, i, geom, debug=False):
+    # ---- per-observation rigid GN (reference _update_rigid_channel),
+    # split into a STATS phase (moments -> GN delta) and a LINE-SEARCH
+    # phase so the rigid round can project the pose-gauge common mode out
+    # of the deltas in between (see do_rig below). Both phases are traced
+    # exactly once per observation per chunk. ----
+    def rigid_stats(ys_c, dat_x, q_i, s_i, tau, i, geom, debug=False):
             c, n = obs[i]
             pres, posts, sub_pres, sub_posts = geom[:4]
             info = sub_infos[i]
@@ -338,15 +361,6 @@ def make_fit_chunk(x, y, sett, K: int, extra_budget: float = 0.0):
             cscale = info["cscale"]
             sr = method == "super-resolution"
             kers, ratio, axis = po_u.smo_ker_1d, po_u.ratio, po_u.dim_thick
-
-            def match_ll(M):
-                dat_yx = suite["pull"](ys_c, M)
-                if sr:
-                    dat_yx = blur_down_sep(dat_yx, kers, ratio)
-                    dat_yx = apply_scaling(dat_yx, s_i, axis)
-                msk = dat_x != 0
-                res = jnp.where(msk, dat_x - dat_yx, 0.0)
-                return 0.5 * tau * stable_sum(res * res)
 
             R, dR = se3_dexpm(q_i, basis)
             M4 = pre @ R @ post
@@ -441,6 +455,28 @@ def make_fit_chunk(x, y, sett, K: int, extra_budget: float = 0.0):
             gn = g * dscale
             sol = jnp.linalg.solve(Hn + 1e-5 * jnp.eye(6), gn)
             delta = sol * dscale
+            if debug:
+                return delta, ll, dict(g=g, H=H)
+            return delta, ll
+
+    def rigid_ls(ys_c, dat_x, q_i, s_i, tau, i, geom, delta, ll,
+                 debug=False):
+            pres, posts, sub_pres, sub_posts = geom[:4]
+            info = sub_infos[i]
+            suite = info["suite"]
+            po_u = info["po"]
+            pre, post = sub_pres[i], sub_posts[i]
+            sr = method == "super-resolution"
+            kers, ratio, axis = po_u.smo_ker_1d, po_u.ratio, po_u.dim_thick
+
+            def match_ll(M):
+                dat_yx = suite["pull"](ys_c, M)
+                if sr:
+                    dat_yx = blur_down_sep(dat_yx, kers, ratio)
+                    dat_yx = apply_scaling(dat_yx, s_i, axis)
+                msk = dat_x != 0
+                res = jnp.where(msk, dat_x - dat_yx, 0.0)
+                return 0.5 * tau * stable_sum(res * res)
 
             def cand_ok(qc):
                 Rc = se3_expm(qc, basis)
@@ -513,10 +549,22 @@ def make_fit_chunk(x, y, sett, K: int, extra_budget: float = 0.0):
             if debug:
                 Rd = se3_expm(q_i - delta, basis)
                 Md = (pre @ Rd @ post)[:3, :4]
-                return q_new, dict(ll=ll, g=g, H=H, delta=delta,
+                return q_new, dict(ll=ll, delta=delta,
                                    ok_full=cand_ok(q_i - delta),
                                    ll_full=match_ll(Md))
             return q_new, n_veto, sat
+
+    def rigid_obs(ys_c, dat_x, q_i, s_i, tau, i, geom, debug=False):
+            """Single-observation GN rigid update (stats + line search)."""
+            if debug:
+                delta, ll, extra = rigid_stats(ys_c, dat_x, q_i, s_i, tau,
+                                               i, geom, debug=True)
+                q_new, dbg = rigid_ls(ys_c, dat_x, q_i, s_i, tau, i, geom,
+                                      delta, ll, debug=True)
+                dbg.update(extra)
+                return q_new, dbg
+            delta, ll = rigid_stats(ys_c, dat_x, q_i, s_i, tau, i, geom)
+            return rigid_ls(ys_c, dat_x, q_i, s_i, tau, i, geom, delta, ll)
 
     def chunk_impl(state: FitState, xdats, taus, subdats, geom):
         pres, posts, sub_pres, sub_posts, vx, lam0 = geom
@@ -568,39 +616,69 @@ def make_fit_chunk(x, y, sett, K: int, extra_budget: float = 0.0):
 
                     def do_rig(args):
                         qq, nv, ns = args
-                        new_q = []
+                        # Phase 1: GN deltas for every observation.
+                        dats, deltas, lls = [], [], []
                         for i2 in range(Nobs):
                             c2, n2 = obs[i2]
                             dat_i = (xdats[c2][n2]
                                      if sub_infos[i2]["sub_is_main"]
                                      else subdats[i2])
-                            q_i2, nv_i2, sat_i2 = rigid_obs(
+                            dats.append(dat_i)
+                            d_i, ll_i = rigid_stats(
                                 ys[c2], dat_i, qq[i2], scl[i2],
                                 taus[c2][n2], i2, geom)
+                            deltas.append(d_i)
+                            lls.append(ll_i)
+                        deltas = jnp.stack(deltas)
+                        if gauge_anchor and Nobs > 1:
+                            # Project the pose-gauge common mode OUT of the
+                            # GN steps before the line searches (the joint
+                            # model is gauge-free, so the mean step is the
+                            # flat manifold direction: following it just
+                            # drags recon+poses together — measured round 4
+                            # at bench scale, the free gauge drifted to
+                            # ~16 mm / 0.1 rad and cost 3.4 dB of PSNR).
+                            # Projecting BEFORE Armijo (rather than only
+                            # mean-centring the accepted poses, the
+                            # reference's mean_correct semantics,
+                            # unires/_update.py:243-265) means every
+                            # adopted pose was actually evaluated: post-hoc
+                            # centring adopted UNEVALUATED poses each round,
+                            # which bumped the objective ~1% and kept
+                            # |gain| oscillating above the schedule gate
+                            # for ~160 iterations (236 total vs ~100 for
+                            # the rigid-free run).
+                            deltas = deltas - jnp.mean(deltas, axis=0,
+                                                       keepdims=True)
+                        # Phase 2: capacity trust region + Armijo along the
+                        # projected steps.
+                        new_q = []
+                        for i2 in range(Nobs):
+                            c2, n2 = obs[i2]
+                            q_i2, nv_i2, sat_i2 = rigid_ls(
+                                ys[c2], dats[i2], qq[i2], scl[i2],
+                                taus[c2][n2], i2, geom, deltas[i2],
+                                lls[i2])
                             new_q.append(q_i2)
                             nv = nv + nv_i2
                             ns = ns + sat_i2.astype(jnp.int32)
                         qn = jnp.stack(new_q)
                         if gauge_anchor and Nobs > 1:
-                            # centre the pose gauge by subtracting the mean
-                            # pose (the reference's mean_correct,
-                            # unires/_update.py:243-265): the joint model is
-                            # gauge-free, so without centring the poses and
-                            # the recon random-walk together, eroding Pallas
-                            # window headroom. Round-3 lesson: a HARD anchor
-                            # (pinning one observation) is the wrong gauge —
-                            # it forces the others to absorb the FULL
-                            # relative post-coreg misalignment, which
-                            # measured right at the ±0.05 rad shear budget
-                            # on the bench workload, pinning poses at the
-                            # capacity edge and stalling convergence. Mean
-                            # centring halves the worst-case per-pose
-                            # excursion instead. The centred poses must
-                            # STILL pass every window-capacity check (the
-                            # veto only vetted the uncentred candidates), so
-                            # centring is applied only when all pass.
-                            qc = qn - jnp.mean(qn, axis=0, keepdims=True)
-                            okc = jnp.bool_(True)
+                            # Safety net: per-observation line searches can
+                            # re-introduce a small common mode (different
+                            # accepted step sizes along the projected
+                            # directions). Re-centre the accumulated q (the
+                            # reference's mean_correct) only when the drift
+                            # exceeds 0.25 (mm / 10 mrad) — rare, so the
+                            # unevaluated-pose perturbation stays out of
+                            # the steady-state dynamics — and only when the
+                            # centred poses pass every window-capacity
+                            # check (the veto only vetted the uncentred
+                            # candidates).
+                            mq = jnp.mean(qn, axis=0)
+                            drift = jnp.max(jnp.abs(mq) / q_gauge_scale)
+                            qc = qn - mq[None]
+                            okc = drift > 0.25
                             for i2 in range(Nobs):
                                 okc &= pose_capacity_ok(
                                     i2, qc[i2], pres, posts, sub_pres,
@@ -729,18 +807,25 @@ def make_fit_chunk(x, y, sett, K: int, extra_budget: float = 0.0):
 
 
 def _obs_maps_np(x, sett, state_q):
-    """Host (M, Minv) per observation at the given poses (f64 numpy)."""
-    from ..geometry import expm
+    """Host (M, Minv) per observation at the given poses (f64 numpy).
+
+    Poses are centre-conjugated (geometry.rigid_from_q) — MUST match the
+    pre/post folding in make_fit_chunk or the host plans and the device
+    maps disagree.
+    """
+    from ..geometry import fov_centre, rigid_from_q
 
     basis = (sett.rigid_basis if sett.rigid_basis is not None
              else affine_basis("SE"))
     method = sett.method
     q = np.asarray(state_q, np.float64)
+    po0 = x[0][0].po
+    centre = fov_centre(po0.mat_y, po0.dim_y)
     out = []
     i = 0
     for xc in x:
         for o in xc:
-            R = expm(q[i], basis)
+            R = rigid_from_q(q[i], basis, centre)
             M = (o.po.M_sr(R) if method == "super-resolution"
                  else o.po.M_den(R))
             M4 = np.eye(4)

@@ -184,12 +184,15 @@ def update_rigid(x, y, sett, mean_correct: bool = True, max_niter_gn: int = 1,
                                      num_linesearch, samp, fns_cache, key=(c, n))
 
     if mean_correct:
+        from ..geometry import fov_centre, rigid_from_q
+
         qs = [o.rigid_q for ch in x for o in ch]
         mean_q = np.mean(qs, axis=0)
+        centre = fov_centre(y[0].mat, y[0].dim)
         for ch in x:
             for o in ch:
                 o.rigid_q = o.rigid_q - mean_q
-                o.po.rigid = expm(o.rigid_q, basis)
+                o.po.rigid = rigid_from_q(o.rigid_q, basis, centre)
     return x, sll
 
 
@@ -219,13 +222,21 @@ def _update_rigid_obs(o, yc, sett, basis, max_niter_gn, num_linesearch, samp,
     q = np.asarray(o.rigid_q, np.float64).copy()
     tau = jnp.float32(o.tau)
     scl = jnp.float32(po.scl)
+    # centre-conjugated pose parameterization (geometry.rigid_from_q);
+    # MUST match solvers.fitloop's pre/post folding
+    from ..geometry import affine_translation, fov_centre
+
+    centre = fov_centre(po.mat_y, po.dim_y)
+    pre_c = np.linalg.solve(np.asarray(po.mat_y, np.float64),
+                            affine_translation(centre))
+    post_c = affine_translation(-centre) @ np.asarray(mat, np.float64)
     armijo = 1.0
     ll = None
     for _ in range(max_niter_gn):
         R, dR = dexpm(q, basis)
         K = basis.shape[0]
-        dRq = [np.linalg.solve(po.mat_y, dR[i] @ mat) for i in range(K)]
-        M = jnp.asarray(np.linalg.solve(po.mat_y, R @ mat)[:3, :4].astype(np.float32))
+        dRq = [pre_c @ dR[i] @ post_c for i in range(K)]
+        M = jnp.asarray((pre_c @ R @ post_c)[:3, :4].astype(np.float32))
         out = match_stats(dat_x, yc.dat, M, scl, tau)
         ll = float(out[0])
         g_m0, g_m1, w_m0, w_m1, w_m2 = [np.asarray(v, np.float64) for v in out[1:]]
@@ -241,7 +252,8 @@ def _update_rigid_obs(o, yc, sett, basis, max_niter_gn, num_linesearch, samp,
             for _ls in range(num_linesearch):
                 cand = old_q - armijo * update
                 Rc = expm(cand, basis)
-                Mc = jnp.asarray(np.linalg.solve(po.mat_y, Rc @ mat)[:3, :4].astype(np.float32))
+                Mc = jnp.asarray((pre_c @ Rc @ post_c)[:3, :4]
+                                 .astype(np.float32))
                 cand_ll = float(match_ll(dat_x, yc.dat, Mc, scl, tau))
                 if cand_ll < old_ll:
                     q, ll = cand, cand_ll
@@ -251,5 +263,6 @@ def _update_rigid_obs(o, yc, sett, basis, max_niter_gn, num_linesearch, samp,
             else:
                 q, ll = old_q, old_ll
     o.rigid_q = q
-    o.po.rigid = expm(q, basis)
+    o.po.rigid = (affine_translation(centre) @ expm(q, basis)
+                  @ affine_translation(-centre))
     return float(ll) if ll is not None else 0.0
