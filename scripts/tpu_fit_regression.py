@@ -84,7 +84,8 @@ def main():
     sett = Settings(vx=1.0, do_print=1, write_out=False, tolerance=0.0,
                     sched_num=3, reg_scl=4.0, do_coreg=do_coreg,
                     unified_rigid=True, scaling=True,
-                    max_iter=max_iter, chunk_iters=K)
+                    max_iter=max_iter, chunk_iters=K,
+                    profile_dir=os.environ.get("REG_PROFILE_DIR") or None)
     x, y, sett = init(chans, sett)
     print(f"[{time.time() - t_start:.0f}s] init done", flush=True)
 

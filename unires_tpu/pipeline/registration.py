@@ -191,7 +191,17 @@ def _iso_reslice(dat, mat, target_mm: float, box=None):
     mat_o[:3, :3] = np.diag([target_mm] * 3)
     mat_o[:3, 3] = lo
     M = np.linalg.solve(mat, mat_o)
-    out = pull(dat, jnp.asarray(M[:3, :4].astype(np.float32)), dim_o)
+    # axis-aligned inputs (the vast majority of NIfTIs): the reslice is
+    # separable -> three tiny (dim_o, dim_i) matmuls on the MXU instead of
+    # the XLA gather pull, which costs ~4.5 s per image at ~190^3 (measured
+    # round 4: the gather reslices were ~13.5 s of every warm init)
+    from ..ops.resample import _apply_separable, separable_matrices
+
+    sep = separable_matrices(M, dat.shape, dim_o)
+    if sep is not None:
+        out = _apply_separable(dat, *sep)
+    else:
+        out = pull(dat, jnp.asarray(M[:3, :4].astype(np.float32)), dim_o)
     return out, mat_o
 
 
@@ -502,15 +512,26 @@ def affine_align(imgs: Sequence[Tuple[Array, np.ndarray]], fix: int = 0,
                                 imgs[i][1], levels, fwhms, box=box)
                 for i in range(N) if i != fix}
     qs = {i: np.zeros(6) for i in mov_pyrs}
+    import os as _os
+    import time as _time
+
+    _dbg = _os.environ.get("UNIRES_TPU_TIMING")
     for li in range(len(levels)):
         fd, fm = fix_pyr[li]
         for i, pyr in mov_pyrs.items():
             md, mm = pyr[li]
+            t0 = _time.time()
             plan = (None if li == 0 else
                     _shear_plan_level(fd.shape, md.shape, mm, fm, qs[i], wc,
                                       "SE"))
             qj, _ = _opt_level(fd, fm, md, mm, qs[i], wc, "SE", 64, 150, plan)
             qs[i] = np.asarray(qj, np.float64)
+            if _dbg:
+                import sys as _sys
+
+                print(f"[coreg] level {levels[li]:.0f}mm mover {i} "
+                      f"dim={tuple(fd.shape)} {_time.time() - t0:.2f}s",
+                      file=_sys.stderr, flush=True)
     for i in mov_pyrs:
         mat_a[i] = q_to_world(qs[i], "SE", wc)
     return mat_a

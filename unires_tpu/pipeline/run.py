@@ -188,16 +188,39 @@ def init(data, sett: Optional[Settings] = None):
         if sett.pow == 0:
             sett.pow = 256
 
+    import time as _time
+
+    _dbg = os.environ.get("UNIRES_TPU_TIMING")
+    _t = [_time.time()]
+
+    def _tick(name):
+        if _dbg:
+            import sys as _sys
+
+            now = _time.time()
+            print(f"[init] {name}: {now - _t[0]:.2f}s", file=_sys.stderr,
+                  flush=True)
+            _t[0] = now
+
     x = read_data(data, sett)
+    _tick("read_data")
     if sett.max_iter > 0:
         x = estimate_hyperpar(x, sett)
+        _tick("hyperpar")
     x = fix_affine(x, sett)
     x = resample_inplane(x, sett)
     x, sett = init_reg(x, sett)
+    _tick("init_reg")
     y, sett = format_y(x, sett)
     x = proj_info_add(x, y, sett)
+    _tick("format_y+proj_info")
     y = init_y_dat(x, y, sett)
     y = init_y_label(x, y, sett)
+    if _dbg:
+        import jax as _jax
+
+        _jax.block_until_ready(y[0].dat)
+    _tick("init_y")
     return x, y, sett
 
 
