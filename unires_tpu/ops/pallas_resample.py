@@ -737,15 +737,16 @@ def _push_kernel(tile, cover, win, lo, in_dim, pad_dim, out_dim, db,
     # Branch-free trilinear weight: hat(v - g) = max(0, 1 - |v - g|) yields
     # BOTH corner weights (1-f at the floor corner, f at floor+1, 0 outside)
     # with no floor/compare chain. T_d = v_d - g_d at the base candidate;
-    # each offset subtracts a scalar M-column step.
+    # each offset subtracts a scalar M-column step. The FOV of the
+    # candidate's sample point is NOT tested here: _fov_premask zeroed those
+    # source values before the kernel (exact — the mask depends only on o).
     vg = [(base[d] + origin[d]).astype(jnp.float32) for d in range(3)]
     T0 = [vg[d] - g0[d] for d in range(3)]
-    # FOV of the candidate's sample point, folded per axis into the hat:
-    # hat != 0 implies g in (v-1, v+1) subset [-1, out): only the half-open
-    # boundary shells [-1,-0.5) and (out-0.5, out) need explicit masking.
     # Candidate-in-source-range masks vary along ONE axis each: build them
     # from 1D iotas (full-tile versions kept WX+WY+WZ tile arrays live and
     # blew the scoped-vmem budget once windows widened for drift slack).
+    # These CANNOT fold into the premask: out-of-range candidates wrap
+    # (modular rolls) onto real in-range data, so the value read is nonzero.
     shapes1 = ((TX, 1, 1), (1, TY, 1), (1, 1, TZ))
     base1 = [jax.lax.broadcasted_iota(jnp.int32, shapes1[d], d)
              for d in range(3)]
@@ -769,11 +770,7 @@ def _push_kernel(tile, cover, win, lo, in_dim, pad_dim, out_dim, db,
                 wt = okxy * okz[w]
                 for d in range(3):
                     t = Tuv[d] - m[d][2] * w
-                    wd = jnp.maximum(1.0 - jnp.abs(t), 0.0)
-                    gd = vg[d] - t
-                    wd = jnp.where((gd >= -0.5) & (gd <= out_dim[d] - 0.5),
-                                   wd, 0.0)
-                    wt = wt * wd
+                    wt = wt * jnp.maximum(1.0 - jnp.abs(t), 0.0)
                 acc = acc + wt * slab[:, :, w:w + TZ]
         return acc
 
@@ -872,36 +869,38 @@ def _push_shear_kernel(tile, cover, win, lo, in_dim, pad_dim, out_dim, db,
     base1 = [jax.lax.broadcasted_iota(jnp.int32, shapes1[d], d)
              for d in range(3)]
 
+    # The candidate's sample-point FOV is NOT tested in the loops below:
+    # _fov_premask zeroed those source values before the kernel (exact —
+    # the mask depends only on the original voxel o, and vg - t here IS
+    # g(o') of the voxel each sheared read lands on). The in-source-range
+    # ok masks must stay: out-of-range candidates WRAP onto real data.
     acc = jnp.zeros((TX, TY, TZ), jnp.float32)
     for w in range(WZ):
         tw_x = _t_at(gx, w)
         tw_y = _t_at(gy, w)
         tw_xf = tw_x.astype(jnp.float32)
         tw_yf = tw_y.astype(jnp.float32)
-        # shear correction of g per axis (lane vectors)
-        corr = [m[d][0] * tw_xf + m[d][1] * tw_yf for d in range(3)]
         okz = ((s[2] + u0[2] + w + base1[2] >= 0)
                & (s[2] + u0[2] + w + base1[2] < in_dim[2])).astype(jnp.float32)
+        # hoist the lane-vector shear correction and the w step out of the
+        # (u, v) loops: the per-(u, v, d) hat argument is ONE scalar sub
+        T0w = [T0[d] - (m[d][0] * tw_xf + m[d][1] * tw_yf) - m[d][2] * w
+               for d in range(3)]
+        okys = [((s[1] + u0[1] + v + base1[1] + tw_y >= 0)
+                 & (s[1] + u0[1] + v + base1[1] + tw_y < in_dim[1])
+                 ).astype(jnp.float32) for v in range(WY)]
 
-        def u_body(u, acc, w=w, tw_x=tw_x, tw_y=tw_y, corr=corr, okz=okz):
+        def u_body(u, acc, w=w, tw_x=tw_x, T0w=T0w, okz=okz, okys=okys):
             uf = u.astype(jnp.float32)
             okx = ((s[0] + u0[0] + u + base1[0] + tw_x >= 0)
                    & (s[0] + u0[0] + u + base1[0] + tw_x < in_dim[0])
                    ).astype(jnp.float32)
             okxz = okx * okz
             for v in range(WY):
-                oky = ((s[1] + u0[1] + v + base1[1] + tw_y >= 0)
-                       & (s[1] + u0[1] + v + base1[1] + tw_y < in_dim[1])
-                       ).astype(jnp.float32)
-                wt = okxz * oky
+                wt = okxz * okys[v]
                 for d in range(3):
-                    t = (T0[d] - (m[d][0] * uf + m[d][1] * v + m[d][2] * w)
-                         - corr[d])
-                    wd = jnp.maximum(1.0 - jnp.abs(t), 0.0)
-                    gd = vg[d] - t
-                    wd = jnp.where((gd >= -0.5) & (gd <= out_dim[d] - 0.5),
-                                   wd, 0.0)
-                    wt = wt * wd
+                    t = T0w[d] - (m[d][0] * uf + m[d][1] * v)
+                    wt = wt * jnp.maximum(1.0 - jnp.abs(t), 0.0)
                 acc = acc + wt * work[pl.ds(u, TX), v:v + TY, w:w + TZ]
             return acc
 
@@ -1231,6 +1230,28 @@ def _scratch_shapes(cover, db):
             pltpu.SemaphoreType.DMA(())]
 
 
+def _fov_premask(vals, M, bounds_dim):
+    """Zero source voxels whose sample position g(o) = M @ (o, 1) falls
+    outside the pull FOV [-0.5, bounds-0.5] (pull's extrapolate=False
+    masking): the adjoint must drop their contributions entirely.
+
+    The mask depends only on the SOURCE voxel o, never on the output voxel,
+    so it factors out of the push kernels' window loops exactly (0/1 factor,
+    bitwise-identical products). Applying it here — one fused elementwise
+    XLA pass (~1 ms at 181^3) — lets the kernels drop the 3-axis FOV fold
+    per window point (~15 of ~32 vector ops/point; push runs 200-300 window
+    points per element), the single largest VPU cost in the fit chunk."""
+    dims = vals.shape
+    g = [M[d, 0] * jax.lax.broadcasted_iota(jnp.float32, dims, 0)
+         + M[d, 1] * jax.lax.broadcasted_iota(jnp.float32, dims, 1)
+         + M[d, 2] * jax.lax.broadcasted_iota(jnp.float32, dims, 2)
+         + M[d, 3] for d in range(3)]
+    ok = ((g[0] >= -0.5) & (g[0] <= bounds_dim[0] - 0.5)
+          & (g[1] >= -0.5) & (g[1] <= bounds_dim[1] - 0.5)
+          & (g[2] >= -0.5) & (g[2] <= bounds_dim[2] - 0.5))
+    return jnp.where(ok, vals, 0.0)
+
+
 @functools.partial(jax.jit, static_argnames=("plan", "in_dim", "out_dim"))
 def _pull_call(vol, M, plan, in_dim, out_dim):
     tile, cover, pad_dim, win = plan
@@ -1291,7 +1312,7 @@ def _pull_grad_call(vol, M, plan, in_dim, out_dim):
 def _push_call(vals, M, Minv, plan, in_dim, out_dim):
     tile, cover, pad_dim, win, lo = plan
     db = _db_default()
-    valsp = _pad_to(vals, pad_dim)
+    valsp = _pad_to(_fov_premask(vals, M, out_dim), pad_dim)
     grid = tuple(pl.cdiv(out_dim[d], tile[d]) for d in range(3))
     kernel = functools.partial(_push_kernel, tile, cover, win, lo, in_dim,
                                pad_dim, out_dim, db)
@@ -1402,7 +1423,7 @@ def pallas_pull_grad_shear(vol: Array, M: Array, out_dim, plan) -> Array:
 def _push_shear_call(vals, M, Minv, plan, in_dim, out_dim):
     tile, cover, pad_dim, win, lo = plan
     db = _db_default()
-    valsp = _pad_to(vals, pad_dim)
+    valsp = _pad_to(_fov_premask(vals, M, out_dim), pad_dim)
     grid = tuple(pl.cdiv(out_dim[d], tile[d]) for d in range(3))
     kernel = functools.partial(_push_shear_kernel, tile, cover, win, lo,
                                in_dim, pad_dim, out_dim, db)
