@@ -133,17 +133,25 @@ def proj_info_add(x: XData, y: YData, sett):
 
 def init_y_dat(x: XData, y: YData, sett):
     """Initial y: clamped average of linearly resliced repeats (ref :371-399)."""
+    from ..ops.resample import _apply_separable, separable_matrices
+
     dim_y = y[0].dim
     mat_y = y[0].mat
     for c in range(len(x)):
         dat_y = jnp.zeros(dim_y, jnp.float32)
         sm = jnp.zeros(dim_y, jnp.float32)
         for o in x[c]:
-            M = affine_to_M(np.linalg.solve(np.asarray(o.mat, np.float64), mat_y))
-            mn = float(jnp.min(o.dat))
-            mx = float(jnp.max(o.dat))
-            dat = pull(o.dat, M, dim_y, order=1)
-            dat = jnp.clip(dat, mn, mx)
+            Mv = np.linalg.solve(np.asarray(o.mat, np.float64), mat_y)
+            # axis-aligned input affines -> three (out_d, in_d) matmuls on
+            # the MXU instead of an XLA gather at dim_y scale (~10x); the
+            # 1D matrices reproduce extrapolate=False exactly (tested in
+            # tests/test_resample.py::test_separable_fast_path_matches_gather)
+            sep = separable_matrices(Mv, o.dat.shape, dim_y)
+            if sep is not None:
+                dat = _apply_separable(o.dat, *sep)
+            else:
+                dat = pull(o.dat, affine_to_M(Mv), dim_y, order=1)
+            dat = jnp.clip(dat, jnp.min(o.dat), jnp.max(o.dat))
             sm = sm + (dat > 0)
             dat_y = dat_y + dat
         sm = jnp.where(sm == 0, 1.0, sm)

@@ -445,6 +445,17 @@ def _opt_level(fd, fm, md, mm, q, wc, group, bins, maxiter, plan):
                         .astype(np.float32))
     qj, loss = opt(jnp.asarray(np.asarray(q, np.float32)), fd, md, pre4,
                    post4)
+    import os as _os
+
+    if _os.environ.get("UNIRES_TPU_TIMING"):
+        st = getattr(opt, "stats", None)
+        if st and (st["compile_s"] or st["load_s"]):
+            import sys as _sys
+
+            print(f"[coreg]   opt dim={tuple(fd.shape)} compile="
+                  f"{st['compile_s']:.2f}s load={st['load_s']:.2f}s",
+                  file=_sys.stderr, flush=True)
+            st["compile_s"] = st["load_s"] = 0.0  # report first call only
     return qj, loss
 
 
@@ -508,14 +519,22 @@ def affine_align(imgs: Sequence[Tuple[Array, np.ndarray]], fix: int = 0,
     fix_pyr = _iso_pyramid(fix_dat, fix_mat, levels, fwhms)
     box = _world_box([(imgs[i][1], imgs[i][0].shape)
                       for i in range(N) if i != fix])
-    mov_pyrs = {i: _iso_pyramid(jnp.asarray(imgs[i][0], jnp.float32),
-                                imgs[i][1], levels, fwhms, box=box)
-                for i in range(N) if i != fix}
-    qs = {i: np.zeros(6) for i in mov_pyrs}
     import os as _os
     import time as _time
 
     _dbg = _os.environ.get("UNIRES_TPU_TIMING")
+    t_pyr = _time.time()
+    mov_pyrs = {i: _iso_pyramid(jnp.asarray(imgs[i][0], jnp.float32),
+                                imgs[i][1], levels, fwhms, box=box)
+                for i in range(N) if i != fix}
+    if _dbg:
+        import jax as _jax
+        import sys as _sys
+
+        _jax.block_until_ready([lv[0] for p in mov_pyrs.values() for lv in p])
+        print(f"[coreg] pyramids ({N - 1} movers + fix) "
+              f"{_time.time() - t_pyr:.2f}s", file=_sys.stderr, flush=True)
+    qs = {i: np.zeros(6) for i in mov_pyrs}
     for li in range(len(levels)):
         fd, fm = fix_pyr[li]
         for i, pyr in mov_pyrs.items():
