@@ -26,6 +26,9 @@ OUT_DIM = (38, 42, 138)
 NOMINAL = affine_matrix_classic([0.3, -0.2, 0.1, 0.01, -0.01, 0.008])
 
 
+pytestmark = pytest.mark.slow  # interpret-mode kernel sweeps / full fits
+
+
 def _margins_pull(plan, M):
     tile, wcap, ccap = plan_capacity_pull_shear(plan)
     hw = np.asarray(wcap) - np.asarray(dyn_span_shear(jnp.asarray(M), tile))

@@ -19,6 +19,9 @@ from unires_tpu.models.proj_op import proj_info
 from unires_tpu.ops.lie import inv44
 
 
+pytestmark = pytest.mark.slow  # interpret-mode kernel sweeps / full fits
+
+
 def _suite_pallas(po, method="super-resolution"):
     os.environ["UNIRES_TPU_BACKEND"] = "pallas"
     try:
@@ -118,7 +121,13 @@ def test_veto_saturation_escalates_budget_and_converges(capsys):
     # mean-centring splits the relative rotation across BOTH observations
     # (each carries ~rot/2), so the driven misalignment must be ~2x the
     # budget to saturate.
-    rot = 0.2
+    # 0.32 rad: with the round-4 exact per-w anchors the DMA-cover budget
+    # admits ~0.09 rad/observation + the 0.05 escalation step, so a 0.2 rad
+    # relative rotation (~0.1 each after gauge centring) sometimes walks in
+    # WITHOUT consecutive-chunk saturation and the escalation path never
+    # fires (observed flaky). ~0.16/observation keeps the first plan
+    # genuinely pinned until the budget escalates.
+    rot = 0.32
     rp = [0.6, -0.4, 0.2, rot, 0.0, 0.0]
     true_R = affine_matrix_classic(rp)
     gt = blob_phantom(dim=(24, 24, 25), amplitude=1000.0, seed=3)
