@@ -21,6 +21,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--geometry", default="ch0", choices=["ch0", "ch1", "ch2"])
     ap.add_argument("--reps", type=int, default=7)
+    ap.add_argument("--pose_budget", type=float, default=0.02,
+                    help="per-plan rigid drift allowance (radians); "
+                    "Settings.pose_budget default is 0.02")
     args = ap.parse_args()
 
     import jax
@@ -44,7 +47,8 @@ def main():
     po = proj_info(dim_y, np.eye(4), tuple(dim_x), affine_diag(vx),
                    rigid=affine_matrix_classic(rp), prof_ip=2, prof_tp=0,
                    scl=0.1)
-    suite = make_obs_suite(po, "super-resolution")
+    suite = make_obs_suite(po, "super-resolution",
+                           pose_budget=args.pose_budget)
     M, Minv = obs_dyn_args(po, "super-resolution")
     for name, plan in zip(("pull/splan", "push/psplan", "pull/fplan",
                            "push/pplan"), suite["plans"]):
@@ -56,11 +60,14 @@ def main():
     vol_y = jnp.asarray(rng.random(dim_y, dtype=np.float32))
     vol_yx = suite["pull"](vol_y, M)
     kers, ratio = po.smo_ker_1d, po.ratio
+    # the axon result cache persists ACROSS processes — a fixed seed would
+    # make every rep of a re-run a cache hit; salt inputs per process.
+    salt = jnp.float32(1e-6 * (os.getpid() % 9973 + 1))
 
     def timeit(name, fn, out_elems, in_elems):
         ts = []
         for i in range(args.reps):
-            v = vol_y + jnp.float32(1e-6 * (i + 1))
+            v = vol_y + salt * jnp.float32(i + 1)
             t0 = time.perf_counter()
             jax.block_until_ready(fn(v))
             ts.append(time.perf_counter() - t0)

@@ -1,0 +1,128 @@
+"""Batch-sharded fit (parallel.fit_batch) vs the single-device fit.
+
+The batch path shard_maps the SAME chunk body the single-device fit compiles
+(solvers.fitloop chunk_impl) over a ('batch',) mesh, with per-subject
+geometry/pose/hyper-par operands — so a B-subject batch must reproduce B
+independent ``pipeline.fit.fit`` runs: same objective traces, same final
+reconstructions, same poses/scales, same iteration counts. This pins the
+round-4 VERDICT item 2 contract ("sharded fit == single-device fit on a
+2-subject batch").
+"""
+import copy
+
+import jax
+import numpy as np
+import pytest
+
+from phantoms import blob_phantom, degrade
+from unires_tpu import Settings, init
+from unires_tpu.parallel.fit_batch import (batch_mesh, check_homogeneous,
+                                           fit_batch)
+from unires_tpu.pipeline.fit import fit as fit_solver
+
+
+def _subject_data(seed, dim=(16, 16, 17)):
+    """2-channel subject: thick-z and thick-y acquisitions of one anatomy."""
+    gt = blob_phantom(dim=dim, amplitude=1000.0, seed=seed)
+    x0, m0, _ = degrade(gt, thick_axis=2, thick=4.0, noise_sd=5.0, seed=seed)
+    x1, m1, _ = degrade(gt, thick_axis=1, thick=4.0, noise_sd=5.0,
+                        seed=seed + 10)
+    return [[x0, m0], [x1, m1]]
+
+
+def _sett(**kw):
+    base = dict(vx=1.0, do_coreg=False, do_print=0, sched_num=0, reg_scl=4.0,
+                write_out=False, tolerance=1e-6, max_iter=8, chunk_iters=4,
+                cgs_max_iter=4, scaling=True, unified_rigid=True)
+    base.update(kw)
+    return Settings(**base)
+
+
+def test_batch_mesh_shapes():
+    assert batch_mesh(2).devices.size in (1, 2)
+    if len(jax.devices()) >= 4:
+        assert batch_mesh(4).shape == {"batch": 4}
+        assert batch_mesh(3).shape == {"batch": 3}
+        # 5 subjects on 8 devices: largest divisor of 5 that fits is 5
+        if len(jax.devices()) >= 5:
+            assert batch_mesh(5).shape == {"batch": 5}
+
+
+def test_check_homogeneous_rejects_grid_mismatch():
+    xs, ys = [], []
+    for seed, dim in ((0, (16, 16, 17)), (1, (16, 16, 21))):
+        x, y, sett = init([_subject_data(seed, dim=dim)[0]], _sett())
+        xs.append(x)
+        ys.append(y)
+    with pytest.raises(ValueError, match="recon grid"):
+        check_homogeneous(xs, ys, _sett())
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs >=2 devices")
+def test_fit_batch_matches_single_device_fit():
+    """2 different subjects, full algorithm (ADMM + scaling GN + rigid GN +
+    convergence): the sharded batch must reproduce each single-device fit."""
+    subjects = [_subject_data(0), _subject_data(7)]
+
+    singles = []
+    for data in subjects:
+        x, y, sett = init(copy.deepcopy(data), _sett())
+        y2, R, jtv, obj, n_iter = fit_solver(x, y, sett)
+        singles.append(dict(y=[np.asarray(c.dat) for c in y2], R=R,
+                            obj=np.asarray(obj, np.float64),
+                            n_iter=n_iter,
+                            q=[np.asarray(o.rigid_q) for xc in x for o in xc],
+                            scl=[o.po.scl for xc in x for o in xc]))
+
+    xs, ys = [], []
+    sett_b = _sett()
+    for data in subjects:
+        xb, yb, sett_b = init(copy.deepcopy(data), _sett())
+        xs.append(xb)
+        ys.append(yb)
+    results = fit_batch(xs, ys, sett_b)
+
+    for b, (ref, (yb, Rb, jtvb, objb, n_iter_b)) in enumerate(
+            zip(singles, results)):
+        assert n_iter_b == ref["n_iter"], (b, n_iter_b, ref["n_iter"])
+        objb = np.asarray(objb, np.float64)
+        assert objb.shape == ref["obj"].shape
+        assert np.allclose(objb, ref["obj"], rtol=1e-4), (
+            b, np.abs(objb - ref["obj"]).max())
+        for c, (got, want) in enumerate(zip(
+                (np.asarray(ch.dat) for ch in yb), ref["y"])):
+            scale = np.abs(want).max()
+            assert np.allclose(got, want, atol=1e-3 * scale), (
+                b, c, np.abs(got - want).max() / scale)
+        q_got = [np.asarray(o.rigid_q) for xc in xs[b] for o in xc]
+        for i, (qg, qw) in enumerate(zip(q_got, ref["q"])):
+            assert np.allclose(qg, qw, atol=1e-4), (b, i, qg, qw)
+        scl_got = [o.po.scl for xc in xs[b] for o in xc]
+        assert np.allclose(scl_got, ref["scl"], atol=1e-4)
+        assert np.allclose(Rb, ref["R"], atol=1e-4)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs >=2 devices")
+def test_preproc_batch_writes_outputs(tmp_path):
+    """CLI-level plumbing: --shard routes comma-grouped subjects through
+    preproc_batch and writes per-subject reconstructions."""
+    from unires_tpu.pipeline.nifti import nifti_save
+    from unires_tpu.cli import run as cli_run
+
+    paths = []
+    for b in range(2):
+        data = _subject_data(b)
+        grp = []
+        for c, (arr, mat) in enumerate(data):
+            p = tmp_path / f"s{b}_c{c}.nii"
+            nifti_save(np.asarray(arr), str(p), affine=mat)
+            grp.append(str(p))
+        paths.append(",".join(grp))
+    out_dir = tmp_path / "out"
+    # --linear: max_iter=0 keeps the CLI test to the init+reslice+write path
+    cli_run(paths + ["--shard", "--linear", "--no-unified_rigid",
+                     "--dir_out", str(out_dir), "--device", "cpu",
+                     "--print_info", "0"])
+    outs = sorted(p.name for p in out_dir.iterdir())
+    assert len(outs) == 4, outs  # 2 subjects x 2 channels
+    assert all(n.startswith("u_") for n in outs)

@@ -38,3 +38,4 @@ from .settings import Settings, settings  # noqa: F401
 from .models.proj_op import ProjOp, proj_info  # noqa: F401
 from .models.forward import proj_apply, check_adjoint  # noqa: F401
 from .pipeline.run import init, fit, preproc  # noqa: F401
+from .pipeline.run import fit_batch, preproc_batch  # noqa: F401

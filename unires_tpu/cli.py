@@ -13,7 +13,7 @@ def _preproc(pth, atlas_rigid, common_output, denoising, device, dir_out, fov,
              label_file, label_channel_index, label_repeat_index, linear,
              plot_conv, prefix, print_info, reg_scl, res_origin, scale, sched,
              show_hyperpar, show_jtv, tolerance, unified_rigid, vx, write_out,
-             ct, crop, noise_model="gaussian", chunk_iters=16):
+             ct, crop, noise_model="gaussian", chunk_iters=16, shard=""):
     """Fit the model from the command line (reference _cli.py:7-56)."""
     if device and device not in ("tpu", "cuda"):
         import jax
@@ -48,6 +48,16 @@ def _preproc(pth, atlas_rigid, common_output, denoising, device, dir_out, fov,
         s.max_iter = 0
     if denoising:
         s.vx = 0
+    s.shard = shard
+
+    if shard:
+        # batch mode (extension; the reference is single-device): each
+        # positional argument is ONE subject — its channels comma-separated
+        # — and the solve is sharded over a ('batch',) device mesh
+        from .pipeline.run import preproc_batch
+
+        subjects = [p.split(",") if "," in p else [p] for p in pth]
+        return preproc_batch(subjects, s)
 
     from .pipeline.run import preproc
 
@@ -121,6 +131,13 @@ def run(argv=None):
     parser.add_argument("--chunk_iters", type=int, default=s.chunk_iters,
                         help="Outer iterations per device call "
                              f"[default={s.chunk_iters}].")
+    parser.add_argument("--shard", type=str, nargs="?", const="batch",
+                        default="", choices=("", "batch"),
+                        help="Shard a multi-subject batch over the device "
+                             "mesh; each positional argument is then one "
+                             "subject with its channels comma-separated, "
+                             "e.g. unires --shard a_t1.nii,a_t2.nii "
+                             "b_t1.nii,b_t2.nii [default=off].")
     _bool_pair(parser, "write_out", s.write_out,
                "Write reconstructed output images")
     args = parser.parse_args(argv)

@@ -68,7 +68,8 @@ def make_resample_ops(po: ProjOp, method: Method, rigid=None):
 
 
 def make_resample_suite(po: ProjOp, method: Method, rigid=None,
-                        extra_budget: float = 0.0) -> dict:
+                        extra_budget: float = 0.0,
+                        pose_budget: float = 0.05) -> dict:
     """Resampling ops + validity guard for one observation's geometry.
 
     Returns a dict with:
@@ -87,13 +88,17 @@ def make_resample_suite(po: ProjOp, method: Method, rigid=None,
 
     use_shear = os.environ.get("UNIRES_TPU_SHEAR", "1") not in ("0", "")
     eb = float(extra_budget)  # radians; the fit loop escalates on saturation
+    # pose_budget: base per-plan drift allowance (radians). The fit loop
+    # passes Settings.pose_budget (default 0.02 — plans re-centre at every
+    # re-plan and per-chunk drift is millirad at steady state, so the old
+    # blanket 0.05 bought nothing but wider windows: ~2x inner-loop volume
+    # on pull AND push at bench geometry). Standalone callers keep 0.05.
+    rb = float(pose_budget) + eb
     pplan = fplan = splan = psplan = None
     if _use_pallas():
         if use_shear:
-            splan = plan_pull_shear(dim_y, src_dim, M_nom,
-                                    rot_budget=0.05 + eb)
-            psplan = plan_push_shear(src_dim, dim_y, M_nom,
-                                     rot_budget=0.05 + eb,
+            splan = plan_pull_shear(dim_y, src_dim, M_nom, rot_budget=rb)
+            psplan = plan_push_shear(src_dim, dim_y, M_nom, rot_budget=rb,
                                      l1_slack=0.2 + 2.0 * eb)
         # the plain plans are only built when shear is off/unplannable: the
         # shear plan drives pull, pull_grad AND (via psplan) push, so the
@@ -236,7 +241,8 @@ _BIG_HEAD = 1e6  # "unlimited" headroom sentinel (span units)
 
 
 def make_obs_suite(po: ProjOp, method: Method, rigid=None,
-                   extra_budget: float = 0.0) -> dict:
+                   extra_budget: float = 0.0,
+                   pose_budget: float = 0.05) -> dict:
     """Everything the solvers need for one observation, as a dict.
 
     Extends :func:`make_resample_suite` with the full projection chains
@@ -244,7 +250,8 @@ def make_obs_suite(po: ProjOp, method: Method, rigid=None,
     scaling-free forward chain pull+blur used by the even/odd scaling GN
     update (reference unires/_update.py:312-318).
     """
-    rs = make_resample_suite(po, method, rigid, extra_budget=extra_budget)
+    rs = make_resample_suite(po, method, rigid, extra_budget=extra_budget,
+                             pose_budget=pose_budget)
     pull_fn, push_fn = rs["pull"], rs["push"]
     if method == "denoising":
         def A(dat, M, Minv, scl):

@@ -985,20 +985,22 @@ def plan_pull_shear(in_dim, out_dim, M_nominal, rot_budget: float = 0.05,
             min(8, _round_up(out_dim[1], 8)),
             min(128, _round_up(out_dim[2], 128)))
     TX, TY, TZ = tile
-    # 1.5 = the two floor jitters (sample-coordinate floor + integer-shear
-    # rounding; jointly < 2 and integer-spread-tight at +1 each, see the
-    # capacity derivation in plan_capacity_pull_shear) + 0.5 admission
-    # margin. The round-3 anchor needed a further +1 (mid-window estimate
-    # minus one); the exact per-w anchor minimum in the kernels bought that
-    # slot back.
-    shear_sl = 1.5 + rot_budget * (TX + TY)
+    # Capacity-minimal windows (round 5): win = ceil(S_max + account) where
+    # S_max = nominal sheared span * (1 + slack) + the drift allowance
+    # rot_budget * (TX + TY), and account matches plan_capacity_pull_shear
+    # EXACTLY (x/y: 3.4 = 2 interpolation slots + 1 integer-tight floor
+    # jitter pair + 0.4 gamma*WZ; z: 2.0 = 2 slots, single floor). The
+    # earlier formula allocated ceil(S + 1.5) + 2 — up to a whole window
+    # slot beyond what the capacity check can ever admit, paid on every
+    # (u, v) iteration of every kernel call.
+    drift = rot_budget * (TX + TY)
     win = []
     for d in range(2):
         o = 1 - d
         sd = (abs(abs(L[d][d]) - 1.0) * tile[d] + abs(L[d][o]) * tile[o])
-        win.append(int(math.ceil(sd * (1.0 + slack) + shear_sl)) + 2)
-    sz = _span(L, tile, 2) * (1.0 + slack) + 0.5 + rot_budget * (TX + TY)
-    win.append(int(math.ceil(sz)) + 2)
+        win.append(int(math.ceil(sd * (1.0 + slack) + drift + 3.4)))
+    sz = _span(L, tile, 2) * (1.0 + slack) + drift
+    win.append(int(math.ceil(sz + 2.0)))
     win = tuple(win)
     if win[0] * win[1] * win[2] > max_iters:
         return None
@@ -1074,18 +1076,18 @@ def plan_push_shear(in_dim, out_dim, M_nominal, rot_budget: float = 0.05,
             min(8, _round_up(out_dim[1], 8)),
             min(128, _round_up(out_dim[2], 128)))
     TX, TY, TZ = tile
-    # 1.5: see plan_pull_shear (exact per-w anchor bought back the round-3
-    # mid-window-estimate slot)
-    shear_sl = 1.5 + rot_budget * (TX + TY)
+    # Capacity-minimal windows (see plan_pull_shear): win = ceil(S_max +
+    # account) with account matching plan_capacity_push_shear EXACTLY
+    # (x/y: 2 lo + 2 candidate slots + 1.4 jitter/gamma; z: 2 lo + 2).
+    drift = rot_budget * (TX + TY)
     win = []
     for d in range(2):
         o = 1 - d
         sd = (abs(abs(Li[d][d]) - 1.0) * tile[d] + abs(Li[d][o]) * tile[o])
-        win.append(int(math.ceil(sd * (1.0 + slack) + shear_sl
-                                 + 2 * lo[d] + 1)) + 1)
-    sz = (_span(Li, tile, 2) * (1.0 + slack) + 0.5
-          + rot_budget * (TX + TY) + 2 * lo[2] + 1)
-    win.append(int(math.ceil(sz)) + 1)
+        win.append(int(math.ceil(sd * (1.0 + slack) + drift
+                                 + 2 * lo[d] + 2 + 1.4)))
+    sz = _span(Li, tile, 2) * (1.0 + slack) + drift + 2 * lo[2] + 2
+    win.append(int(math.ceil(sz)))
     win = tuple(win)
     if win[0] * win[1] * win[2] > max_iters:
         return None

@@ -27,14 +27,17 @@ from ..solvers.fitloop import (FitState, init_state, make_fit_chunk,
 from ..utils.log import info
 from .structs import XData, YData
 
-# Window-plan policy: plans carry ~4 voxels of additive slack (roughly a
-# +-0.03 rad rotation budget on the 128-lane axis), and the device-side
-# candidate veto REJECTS rigid moves beyond that — poses are bounded, the
-# kernels stay exact, and no re-trace ever happens. Post-coreg residuals
-# are well inside the budget; the veto also tames early GN overshoot.
-# Setting replan_margin > 0 (Settings) re-enables automatic re-planning
-# (a ~60 s re-trace each time the headroom drops below it).
-_REPLAN_MARGIN_DEFAULT = 0.0
+# Window-plan policy: plans are sized for the current pose plus
+# Settings.pose_budget radians of drift, and the device-side candidate veto
+# REJECTS rigid moves beyond that — poses are bounded and the kernels stay
+# exact. With the round-5 tight default budget (0.02 rad) a pose CAN
+# legitimately need more total refinement than one plan allows, so when the
+# remaining headroom drops under this margin (span units; ~0.003 rad) the
+# loop re-plans at the drifted pose — one window slot of growth, sized to
+# the actual pose, instead of waiting for a saturated line search to
+# trigger the blanket +0.05 rad escalation. A rebuild that lands on the
+# same window sizes round-trips through the chunk cache for free.
+_REPLAN_MARGIN_DEFAULT = 0.05
 
 
 def get_gain(obj_trace) -> float:

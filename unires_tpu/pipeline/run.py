@@ -295,3 +295,45 @@ def preproc(data, sett: Optional[Settings] = None):
     x, y, sett = init(data, sett)
     dat_y, mat_y, pth_y, _, _, _ = fit(x, y, sett)
     return dat_y, mat_y, pth_y
+
+
+def fit_batch(xs, ys, setts):
+    """Sharded multi-subject fit + write (extension; no reference analog —
+    the reference is single-device, SURVEY §2.3).
+
+    ``xs``/``ys``/``setts``: per-subject struct lists from :func:`init`.
+    The solve runs data-parallel over a ('batch',) device mesh
+    (parallel.fit_batch) — each device executes the full per-subject
+    algorithm, so results match per-subject :func:`fit` runs. Returns a list
+    of (dat_y, mat_y, pth_y, R, label, pth_label) per subject.
+    """
+    from ..parallel.fit_batch import fit_batch as _fit_batch
+
+    results = _fit_batch(xs, ys, setts[0])
+    out = []
+    for (x, sett), (y, R, jtv, obj, n_iter) in zip(
+            [(x, s) for x, s in zip(xs, setts)], results):
+        dat_y, pth_y, label, pth_label = write_data(x, y, sett, jtv=jtv)
+        out.append((dat_y, y[0].mat, pth_y, R, label, pth_label))
+    return out
+
+
+def preproc_batch(subjects, sett: Optional[Settings] = None):
+    """One-call batch API: init every subject, fit sharded, write every.
+
+    ``subjects``: list of per-subject inputs (each as :func:`preproc`'s
+    ``data``). Requires a geometry-homogeneous batch (same acquisition
+    protocol; parallel.fit_batch.check_homogeneous raises otherwise).
+    Returns a list of (dat_y, mat_y, pth_y) per subject.
+    """
+    sett = sett if sett is not None else Settings()
+    if not sett.shard:
+        sett.shard = "batch"
+    inits = []
+    for data in subjects:
+        # init mutates settings (method, schedule, rigid basis) — per copy
+        xb, yb, sb = init(data, sett.copy())
+        inits.append((xb, yb, sb))
+    res = fit_batch([i[0] for i in inits], [i[1] for i in inits],
+                    [i[2] for i in inits])
+    return [(dat_y, mat_y, pth_y) for dat_y, mat_y, pth_y, _, _, _ in res]

@@ -68,6 +68,13 @@ class Settings:
     # with an IDENTICAL final NLL (the drift is invisible to the
     # objective). Mean-centring restores 31.1 dB. Round 3's contrary
     # small-scale measurement did not transfer.
+    pose_budget: float = 0.02  # per-plan rigid drift allowance (radians) for
+    # the Pallas window plans. Plans re-centre on the current pose at every
+    # re-plan and per-chunk drift is millirad once coreg has run, so a tight
+    # budget halves the kernel window volume vs the former blanket 0.05
+    # (pull (5,5,4)->(4,4,3), push (7,7,6)->(6,6,5) at bench geometry). The
+    # capacity veto + budget escalation recover automatically if a pose
+    # needs more than this per chunk.
     replan_margin: float = 0.0  # >0: re-plan Pallas windows when headroom < this
     budget_escalate: bool = True  # auto-widen window plans when a rigid line
     # search saturates its capacity budget in consecutive chunks (self-healing
@@ -86,6 +93,13 @@ class Settings:
     # device-loop chunking (not in the reference; the TPU fit loop runs
     # chunk_iters outer iterations per device call — solvers.fitloop)
     chunk_iters: int = 16
+    shard: str = ""  # multi-chip sharding (not in the reference — it is
+    # single-device, SURVEY §2.3). "" = off. "batch": fit a list of
+    # geometry-homogeneous subjects data-parallel over a ('batch',) device
+    # mesh (parallel.fit_batch; CLI: --shard with comma-grouped inputs,
+    # API: preproc_batch / fit_batch). Each device runs the FULL per-subject
+    # algorithm; equality with the single-device fit is pinned by
+    # tests/test_fit_batch.py.
     profile_dir: Optional[str] = None  # write a jax.profiler trace of fit here
 
     # checkpoint/resume (not in the reference, SURVEY §5 rebuild note)

@@ -111,6 +111,81 @@ def _flat_obs(x):
     return [(c, n) for c in range(len(x)) for n in range(len(x[c]))]
 
 
+def chunk_geom(x, y, sett):
+    """Per-subject geometry operands for the fit chunk.
+
+    Returns ``(geom_args, sub_geoms)``: ``geom_args`` is the tuple of device
+    arrays the chunk takes as its ``geom`` operand (pre/post affines with the
+    pose conjugated by the recon-FOV world centre — q rotations act about the
+    volume centre, see geometry.rigid_from_q; on corner-origin affines the
+    unconjugated parameterization has near-flat screw directions that
+    destabilized the round-4 full-scale rigid chain — plus their
+    rigid-subsample variants, vx_y and per-channel lam0). ``sub_geoms`` is a
+    flat per-observation list of rigid-subsample geometry dicts (or None when
+    unified_rigid is off) that make_fit_chunk pairs with suites.
+
+    Standalone (not a closure) so parallel.fit_batch can build per-SUBJECT
+    geom operands for one shared compiled chunk.
+    """
+    from ..geometry import affine_translation as _aff_T
+    from ..geometry import fov_centre as _fov_centre
+
+    method = sett.method
+    obs = _flat_obs(x)
+    dim_y = tuple(int(d) for d in y[0].dim)
+    c_world = _fov_centre(y[0].mat, dim_y)
+    Tc = _aff_T(c_world)
+    Tc_inv = _aff_T(-c_world)
+
+    pres_np, posts_np = [], []
+    sub_pres_np, sub_posts_np = [], []
+    sub_geoms = []
+    for (c, n) in obs:
+        o = x[c][n]
+        po = o.po
+        pre = np.linalg.inv(np.asarray(po.mat_y, np.float64)) @ Tc
+        post = Tc_inv @ np.asarray(
+            po.mat_yx if method == "super-resolution" else po.mat_x,
+            np.float64)
+        pres_np.append(pre.astype(np.float32))
+        posts_np.append(np.asarray(post, np.float64).astype(np.float32))
+
+        if sett.unified_rigid:
+            po_sub = proj_info(po.dim_y, po.mat_y, o.dim, o.mat,
+                               rigid=po.rigid, prof_ip=sett.profile_ip,
+                               prof_tp=sett.profile_tp, gap=sett.gap,
+                               scl=po.scl, samp=sett.rigid_samp)
+            sub_is_main = (po_sub.dim_x == po.dim_x
+                           and po_sub.dim_yx == po.dim_yx)
+            po_use = po if sub_is_main else po_sub
+            mat_sub = (po_use.mat_yx if method == "super-resolution"
+                       else po_use.mat_x)
+            dim_m = (po_use.dim_yx if method == "super-resolution"
+                     else po_use.dim_x)
+            center = tuple((d - 1) / 2.0 for d in dim_m)
+            cscale = tuple(max((d - 1) / 2.0, 1.0) for d in dim_m)
+            sub_pres_np.append(pres_np[-1])
+            sub_posts_np.append((Tc_inv @ np.asarray(mat_sub, np.float64))
+                                .astype(np.float32))
+            sub_geoms.append(dict(
+                po=po_use, dim=dim_m, center=center, cscale=cscale,
+                sub_is_main=sub_is_main))
+        else:
+            sub_pres_np.append(pres_np[-1])
+            sub_posts_np.append(posts_np[-1])
+            sub_geoms.append(None)
+
+    vx_y_np = np.sqrt((np.asarray(y[0].mat, np.float64)[:3, :3] ** 2)
+                      .sum(0)).astype(np.float32)
+    geom_args = (jnp.asarray(np.stack(pres_np)),
+                 jnp.asarray(np.stack(posts_np)),
+                 jnp.asarray(np.stack(sub_pres_np)),
+                 jnp.asarray(np.stack(sub_posts_np)),
+                 jnp.asarray(vx_y_np),
+                 jnp.asarray([float(yc.lam0) for yc in y], jnp.float32))
+    return geom_args, sub_geoms
+
+
 def make_fit_chunk(x, y, sett, K: int, extra_budget: float = 0.0):
     """Build the jitted K-iteration chunk for the current plan-time poses.
 
@@ -131,6 +206,7 @@ def make_fit_chunk(x, y, sett, K: int, extra_budget: float = 0.0):
     C = len(x)
     method = sett.method
     do_proj = sett.do_proj
+    pose_budget = float(getattr(sett, "pose_budget", 0.05))
     obs = _flat_obs(x)
     Nobs = len(obs)
     flat_of = {cn: i for i, cn in enumerate(obs)}
@@ -147,73 +223,29 @@ def make_fit_chunk(x, y, sett, K: int, extra_budget: float = 0.0):
     # on the pose/affines ONLY through the integer window plans. Without
     # this, coreg float jitter changed the key every run and each round-3
     # bench attempt recompiled (and stacked) a fresh multi-hundred-MB
-    # executable. ----
-    # Conjugate the pose by the recon-FOV world centre: q rotations act
-    # about the volume centre (see geometry.rigid_from_q — on corner-origin
-    # affines the unconjugated parameterization has near-flat screw
-    # directions that destabilized the round-4 full-scale rigid chain).
-    # T(c)/T(-c) fold into pre/post, so the chunk math — capacity checks,
-    # dRq chain rule, maps_from_q — is untouched.
-    from ..geometry import affine_translation as _aff_T
-    from ..geometry import fov_centre as _fov_centre
+    # executable. (It is also what makes the chunk reusable across the
+    # subjects of a geometry-homogeneous batch: parallel.fit_batch feeds
+    # per-subject geom/pose operands through ONE compiled program.) ----
+    geom_args, sub_geoms = chunk_geom(x, y, sett)
 
-    c_world = _fov_centre(y[0].mat, dim_y)
-    Tc = _aff_T(c_world)
-    Tc_inv = _aff_T(-c_world)
-
-    pres_np, posts_np, suites = [], [], []
-    sub_pres_np, sub_posts_np = [], []
+    suites = []
     sub_infos = []  # (suite_sub, dims, center, cscale, sub_is_main)
-    for (c, n) in obs:
+    for idx, (c, n) in enumerate(obs):
         o = x[c][n]
         po = o.po
-        pre = np.linalg.inv(np.asarray(po.mat_y, np.float64)) @ Tc
-        post = Tc_inv @ np.asarray(
-            po.mat_yx if method == "super-resolution" else po.mat_x,
-            np.float64)
-        pres_np.append(pre.astype(np.float32))
-        posts_np.append(np.asarray(post, np.float64).astype(np.float32))
-        suites.append(make_obs_suite(po, method, extra_budget=extra_budget))
-
-        if sett.unified_rigid:
-            po_sub = proj_info(po.dim_y, po.mat_y, o.dim, o.mat,
-                               rigid=po.rigid, prof_ip=sett.profile_ip,
-                               prof_tp=sett.profile_tp, gap=sett.gap,
-                               scl=po.scl, samp=sett.rigid_samp)
-            sub_is_main = (po_sub.dim_x == po.dim_x
-                           and po_sub.dim_yx == po.dim_yx)
-            if sub_is_main:
-                suite_sub, po_use = suites[-1], po
-            else:
-                suite_sub = make_obs_suite(po_sub, method,
-                                           extra_budget=extra_budget)
-                po_use = po_sub
-            mat_sub = (po_use.mat_yx if method == "super-resolution"
-                       else po_use.mat_x)
-            dim_m = (po_use.dim_yx if method == "super-resolution"
-                     else po_use.dim_x)
-            center = tuple((d - 1) / 2.0 for d in dim_m)
-            cscale = tuple(max((d - 1) / 2.0, 1.0) for d in dim_m)
-            sub_pres_np.append(pres_np[-1])
-            sub_posts_np.append((Tc_inv @ np.asarray(mat_sub, np.float64))
-                                .astype(np.float32))
-            sub_infos.append(dict(
-                suite=suite_sub, po=po_use,
-                dim=dim_m, center=center, cscale=cscale,
-                sub_is_main=sub_is_main))
-        else:
-            sub_pres_np.append(pres_np[-1])
-            sub_posts_np.append(posts_np[-1])
+        suites.append(make_obs_suite(po, method, extra_budget=extra_budget,
+                                     pose_budget=pose_budget))
+        sg = sub_geoms[idx]
+        if sg is None:
             sub_infos.append(None)
-
-    vx_y_np = np.sqrt((np.asarray(y[0].mat, np.float64)[:3, :3] ** 2)
-                      .sum(0)).astype(np.float32)
-    geom_args = (jnp.asarray(np.stack(pres_np)),
-                 jnp.asarray(np.stack(posts_np)),
-                 jnp.asarray(np.stack(sub_pres_np)),
-                 jnp.asarray(np.stack(sub_posts_np)),
-                 jnp.asarray(vx_y_np),
-                 jnp.asarray([float(yc.lam0) for yc in y], jnp.float32))
+            continue
+        if sg["sub_is_main"]:
+            suite_sub = suites[-1]
+        else:
+            suite_sub = make_obs_suite(sg["po"], method,
+                                       extra_budget=extra_budget,
+                                       pose_budget=pose_budget)
+        sub_infos.append(dict(sg, suite=suite_sub))
 
     admm_body = make_admm_body(x, y, sett)
 
@@ -803,6 +835,10 @@ def make_fit_chunk(x, y, sett, K: int, extra_budget: float = 0.0):
     chunk._debug = dict(rigid_obs=rigid_obs, scaling_obs=scaling_obs,
                         maps_from_q=maps_from_q, sub_infos=sub_infos,
                         geom=geom_args)
+    # the raw (un-jitted) chunk body: a pure function of
+    # (state, xdats, taus, subdats, geom) — parallel.fit_batch shard_maps it
+    # over a 'batch' device axis for geometry-homogeneous subject batches
+    chunk._impl = chunk_impl
     return chunk
 
 
@@ -866,6 +902,7 @@ def plan_signature(x, sett, state_q, extra_budget: float = 0.0) -> tuple:
     shear_grad = _os.environ.get("UNIRES_TPU_SHEAR_GRAD", "1") not in ("0", "")
     method = sett.method
     eb = float(extra_budget)
+    rb = float(getattr(sett, "pose_budget", 0.05)) + eb
     sigs = []
     maps = _obs_maps_np(x, sett, state_q)
     i = 0
@@ -876,10 +913,8 @@ def plan_signature(x, sett, state_q, extra_budget: float = 0.0) -> tuple:
             M, _ = maps[i]
             splan = psplan = fplan = pplan = None
             if use_shear:
-                splan = plan_pull_shear(po.dim_y, src_dim, M,
-                                        rot_budget=0.05 + eb)
-                psplan = plan_push_shear(src_dim, po.dim_y, M,
-                                         rot_budget=0.05 + eb,
+                splan = plan_pull_shear(po.dim_y, src_dim, M, rot_budget=rb)
+                psplan = plan_push_shear(src_dim, po.dim_y, M, rot_budget=rb,
                                          l1_slack=0.2 + 2.0 * eb)
             if splan is None or not shear_grad:
                 fplan = plan_pull(po.dim_y, src_dim, M,

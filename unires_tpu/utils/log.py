@@ -49,6 +49,11 @@ def info(sett, kind: str, *args):
             t0, n_iter = args
             print(f" {sett.method} finished in {timer() - t0:0.5f} seconds and "
                   f"{n_iter + 1} iterations\n")
+        elif kind == "batch-start":
+            B, mesh = args
+            print(f"\nStarting sharded batch {sett.method} | B={B} subjects "
+                  f"| mesh {dict(mesh.shape)} over "
+                  f"{mesh.devices.size} device(s)")
         elif kind == "step-size":
             rho, = args
             print(f"\nADMM step-size={rho:0.4f} | Regularisation scaling={list(np.round(np.asarray(sett.reg_scl, dtype=float), 4))}")
