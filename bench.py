@@ -58,7 +58,22 @@ def main():
 
     # degradation protocol mirrors demos/demo_multi_channel.ipynb cell 4:
     # thick axis rotated per channel, rigid misalignment, sigma=75 noise,
-    # even/odd scaling 0.1 (BASELINE.md rows 1 and 4)
+    # even/odd scaling 0.1 (BASELINE.md rows 1 and 4). The rigid draws are
+    # projected to ZERO Lie-mean: the common mode of the per-channel poses
+    # is a pure gauge (no algorithm — the reference included — can observe
+    # it; the reference's own MSE anchor is measured with rigid=identity,
+    # demo_single_channel.ipynb:107), so fixing the synthetic common frame
+    # at zero makes MSE-vs-GT well-posed while leaving the per-channel
+    # misalignment the solver must actually recover untouched.
+    from unires_tpu.geometry import affine_basis, expm, rigid_log
+
+    basis_se = affine_basis("SE")
+    rps = [rng.uniform(-2, 2, 3).tolist()
+           + rng.uniform(-0.02, 0.02, 3).tolist() for _ in range(3)]
+    logs = [rigid_log(affine_matrix_classic(rp), basis_se) for rp in rps]
+    qm = np.mean(logs, axis=0)
+    rigids = [expm(lg - qm, basis_se) for lg in logs]
+
     chans = []
     thick_axes = [2, 1, 0]
     for c in range(3):
@@ -68,10 +83,8 @@ def main():
         mat_x = affine_diag(vx)
         dim_x = list(dim_y)
         dim_x[ax] = int(np.ceil(dim_y[ax] / 4.0))
-        rp = rng.uniform(-2, 2, 3).tolist() + rng.uniform(-0.02, 0.02, 3).tolist()
-        rigid = affine_matrix_classic(rp)
-        po = proj_info(dim_y, np.eye(4), tuple(dim_x), mat_x, rigid=rigid,
-                       prof_ip=2, prof_tp=0, scl=0.1)
+        po = proj_info(dim_y, np.eye(4), tuple(dim_x), mat_x,
+                       rigid=rigids[c], prof_ip=2, prof_tp=0, scl=0.1)
         x = np.asarray(proj_apply("A", jnp.asarray(gts[c]), po,
                                   "super-resolution"))
         x = x + 75.0 * rng.standard_normal(x.shape).astype(np.float32)

@@ -92,3 +92,26 @@ def test_get_gain():
     assert get_gain([5.0]) == float("inf")
     g = get_gain([10.0, 6.0, 5.0])
     assert abs(g - (6.0 - 5.0) / 5.0) < 1e-12
+
+
+def test_precond_modes_agree(recon_problem):
+    """dct / jacobi / none preconditioning must converge to the same
+    reconstruction (the preconditioner changes the CG trajectory, not the
+    solution). 'jacobi' mirrors the reference's shipped-but-disabled
+    _precond (unires/_update.py:80-102) for A/B parity runs."""
+    gt, x_obs, mat_x = recon_problem
+    outs = {}
+    for mode in ("dct", "jacobi", "none"):
+        sett = Settings(vx=1.0, do_coreg=False, do_print=0, max_iter=12,
+                        tolerance=1e-9, sched_num=0, reg_scl=4.0,
+                        write_out=False, unified_rigid=False, precond=mode,
+                        cgs_max_iter=40, cgs_tol=1e-8)
+        x, y, sett = init([[x_obs, mat_x]], sett)
+        y, _, _, obj, _ = fit_solver(x, y, sett)
+        outs[mode] = (np.asarray(y[0].dat, np.float64), obj[-1, 0])
+    ref, nll_ref = outs["dct"]
+    scale = np.abs(ref).max()
+    for mode in ("jacobi", "none"):
+        dat, nll = outs[mode]
+        assert np.abs(dat - ref).max() < 5e-3 * scale, mode
+        assert abs(nll - nll_ref) < 1e-3 * abs(nll_ref), mode

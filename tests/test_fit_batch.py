@@ -106,7 +106,7 @@ def test_fit_batch_matches_single_device_fit():
 def test_preproc_batch_writes_outputs(tmp_path):
     """CLI-level plumbing: --shard routes comma-grouped subjects through
     preproc_batch and writes per-subject reconstructions."""
-    from unires_tpu.pipeline.nifti import nifti_save
+    from unires_tpu.pipeline.nifti import save as nifti_save
     from unires_tpu.cli import run as cli_run
 
     paths = []

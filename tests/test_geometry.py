@@ -110,3 +110,17 @@ def test_bb_atlas_boxes_contain_procedural_anatomy():
                   & (Yw <= mx[1]) & (Zw >= mn[2]) & (Zw <= mx[2]))
         frac = float(np.mean(inside[sel]))
         assert frac >= 0.98, (fov, frac)
+
+
+def test_rigid_log_roundtrip():
+    from unires_tpu.geometry import affine_basis, expm, rigid_log
+
+    B = affine_basis("SE")
+    q = np.array([3.0, -2.0, 1.5, 0.05, -0.03, 0.08])
+    R = expm(q, B)
+    assert np.allclose(rigid_log(R, B), q, atol=1e-10)
+    # and from a classic-parameterised matrix (different factorization)
+    from unires_tpu.geometry import affine_matrix_classic
+
+    M = affine_matrix_classic([1.0, 2.0, -0.5, 0.04, 0.02, -0.06])
+    assert np.allclose(expm(rigid_log(M, B), B), M, atol=1e-10)

@@ -88,3 +88,24 @@ def test_atlas_align_cso_recovers_rigid_and_scale(tmp_path):
     aligned = np.linalg.solve(mat_a, C_true)
     assert np.abs(aligned[:3, 3]).max() < 1.0, aligned
     assert np.abs(aligned[:3, :3] - np.eye(3)).max() < 0.025, aligned
+
+
+def test_affine_align_mean_gauge():
+    """gauge='mean': pairwise alignment identical to gauge='fix', but the
+    Lie-mean of the corrections is zero (the common frame sits at the mean
+    of the input frames instead of inheriting image fix's pose error)."""
+    from unires_tpu.geometry import affine_basis, rigid_log
+
+    gt = blob_phantom(dim=(24, 26, 24), seed=3)
+    R_true = affine_matrix_classic([2.0, -1.5, 1.0, 0.04, -0.02, 0.03])
+    imgs = [(jnp.asarray(gt), np.eye(4)), (jnp.asarray(gt), R_true)]
+    a_fix = affine_align(imgs, fix=0, levels=(4.0,), gauge="fix")
+    a_mean = affine_align(imgs, fix=0, levels=(4.0,), gauge="mean")
+    # same pairwise (relative) alignment
+    rel_fix = np.linalg.solve(a_fix[0], a_fix[1])
+    rel_mean = np.linalg.solve(a_mean[0], a_mean[1])
+    assert np.allclose(rel_fix, rel_mean, atol=1e-9)
+    # zero Lie-mean of the corrections
+    B = affine_basis("SE")
+    qbar = np.mean([rigid_log(a_mean[i], B) for i in range(2)], axis=0)
+    assert np.abs(qbar).max() < 1e-6, qbar

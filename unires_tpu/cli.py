@@ -13,7 +13,8 @@ def _preproc(pth, atlas_rigid, common_output, denoising, device, dir_out, fov,
              label_file, label_channel_index, label_repeat_index, linear,
              plot_conv, prefix, print_info, reg_scl, res_origin, scale, sched,
              show_hyperpar, show_jtv, tolerance, unified_rigid, vx, write_out,
-             ct, crop, noise_model="gaussian", chunk_iters=16, shard=""):
+             ct, crop, noise_model="gaussian", chunk_iters=16, shard="",
+             precond="dct"):
     """Fit the model from the command line (reference _cli.py:7-56)."""
     if device and device not in ("tpu", "cuda"):
         import jax
@@ -44,6 +45,7 @@ def _preproc(pth, atlas_rigid, common_output, denoising, device, dir_out, fov,
     s.atlas_rigid = atlas_rigid
     s.noise_model = noise_model
     s.chunk_iters = chunk_iters
+    s.precond = precond
     if linear:
         s.max_iter = 0
     if denoising:
@@ -131,6 +133,11 @@ def run(argv=None):
     parser.add_argument("--chunk_iters", type=int, default=s.chunk_iters,
                         help="Outer iterations per device call "
                              f"[default={s.chunk_iters}].")
+    parser.add_argument("--precond", type=str, default=s.precond,
+                        choices=("dct", "jacobi", "none"),
+                        help="CG preconditioner: dct (default), jacobi (the "
+                             "reference's disabled _precond, for A/B parity "
+                             "runs), none.")
     parser.add_argument("--shard", type=str, nargs="?", const="batch",
                         default="", choices=("", "batch"),
                         help="Shard a multi-subject batch over the device "

@@ -125,6 +125,24 @@ def dexpm(q, basis):
     return R, dR
 
 
+def rigid_log(mat, basis=None) -> np.ndarray:
+    """Inverse of :func:`expm` for rigid transforms: q with
+    expm(q, basis) == mat (host, float64).
+
+    The matrix log of a rigid 4x4 lies exactly in span(basis) for 'SE', so
+    the Frobenius projection onto the (orthogonal) generators is exact.
+    """
+    from scipy.linalg import logm
+
+    if basis is None:
+        basis = affine_basis("SE")
+    X = np.real(logm(np.asarray(mat, np.float64)))
+    B = np.asarray(basis, np.float64)
+    num = np.einsum("ij,kij->k", X, B)
+    den = np.einsum("kij,kij->k", B, B)
+    return num / den
+
+
 def fov_centre(mat, dim) -> np.ndarray:
     """World coordinates of the FOV centre voxel ((d-1)/2 per axis)."""
     mat = np.asarray(mat, np.float64)

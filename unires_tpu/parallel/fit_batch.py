@@ -170,7 +170,7 @@ def fit_batch(xs, ys, sett):
     """
     from ..pipeline.fit import (_REPLAN_MARGIN_DEFAULT, _sync_state,
                                 get_sched)
-    from ..geometry import expm
+    from ..geometry import fov_centre, rigid_from_q
 
     B = len(xs)
     if B == 0:
@@ -254,7 +254,10 @@ def fit_batch(xs, ys, sett):
         _sync_state(xs[b], ys[b], sett, st_b)
         N = sum(len(xc) for xc in xs[b])
         qs = np.asarray(st_b.q, np.float64)
-        R = np.stack([np.asarray(expm(qs[i], basis), np.float64)
+        # centre-conjugated world transforms — the same convention the
+        # single-device fit returns (pipeline/fit.py R collection)
+        centre = fov_centre(ys[b][0].mat, ys[b][0].dim)
+        R = np.stack([rigid_from_q(qs[i], basis, centre)
                       for i in range(N)]) if basis is not None \
             else np.stack([np.eye(4)] * N)
         results[b] = (ys[b], R, np.asarray(st_b.jtv), obj_traces[b],

@@ -234,6 +234,17 @@ def fit(x: XData, y: YData, sett):
                 info(sett, "scl-param", x)
             if sett.do_print >= 3 and k_live:
                 info(sett, "fit-done", t_chunk)
+                # mid-update visualization (reference shows the scaled
+                # observation / rigid-aligned volumes inside the scaling and
+                # rigid updates, _update.py:325,366,510 — here the updates
+                # run on-device, so the chunk boundary surfaces the current
+                # reconstruction per channel at the same verbosity level)
+                from ..utils.plots import show_slices as _show
+
+                for c in range(C):
+                    _show(np.asarray(state.ys[c]),
+                          title=f"y (channel {c}) @ iter {int(state.n_iter)}",
+                          fig_num=60 + c)
 
             # optional dashboards (reference run.py:90-99), chunk cadence
             if sett.plot_conv and obj_trace:

@@ -91,6 +91,14 @@ def format_y(x: XData, sett):
             mat = mat @ mat_bb
             dim = ndim
 
+    if getattr(sett, "force_y_space", None) is not None:
+        # explicit output space (batch mode: every subject reconstructs on
+        # subject 0's grid so the batch is geometry-homogeneous; the
+        # reference's cross-subject analog is common_output via the atlas)
+        mat, dim = sett.force_y_space
+        mat = np.asarray(mat, np.float64)
+        dim = np.asarray(dim, np.float64)
+
     sett.method = "super-resolution" if do_sr else "denoising"
 
     # disable even/odd scaling when it cannot be estimated (reference :262-264)
@@ -150,7 +158,27 @@ def init_y_dat(x: XData, y: YData, sett):
             if sep is not None:
                 dat = _apply_separable(o.dat, *sep)
             else:
-                dat = pull(o.dat, affine_to_M(Mv), dim_y, order=1)
+                # coreg-corrected headers rotate the reslice map off the
+                # separable fast path; the Pallas shear pull is the same
+                # exact trilinear pull at ~10x the XLA gather's speed at
+                # dim_y scale (tiny rot_budget: the map is static). Falls
+                # back to the gather when unplannable (CPU, huge shear).
+                dat = None
+                from ..models.forward import _use_pallas
+
+                if _use_pallas():
+                    from ..ops.pallas_resample import (pallas_pull_shear,
+                                                       plan_pull_shear)
+
+                    plan = plan_pull_shear(tuple(int(d) for d in o.dat.shape),
+                                           tuple(int(d) for d in dim_y),
+                                           Mv[:3, :4], rot_budget=0.005)
+                    if plan is not None:
+                        dat = pallas_pull_shear(
+                            o.dat, jnp.asarray(Mv[:3, :4], jnp.float32),
+                            tuple(int(d) for d in dim_y), plan)
+                if dat is None:
+                    dat = pull(o.dat, affine_to_M(Mv), dim_y, order=1)
             dat = jnp.clip(dat, jnp.min(o.dat), jnp.max(o.dat))
             sm = sm + (dat > 0)
             dat_y = dat_y + dat

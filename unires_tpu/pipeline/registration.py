@@ -231,7 +231,8 @@ def _qscale(K: int) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 @functools.lru_cache(maxsize=64)
-def _nmi_opt_cached(fix_dim, mov_dim, bins, chunk, group, plan, iters):
+def _nmi_opt_cached(fix_dim, mov_dim, bins, chunk, group, plan, iters,
+                    n_batch: int = 0):
     """One jitted device-side NMI minimiser per STATIC config.
 
     All data — fixed/moving volumes and the affine factors pre4/post4 — are
@@ -395,11 +396,19 @@ def _nmi_opt_cached(fix_dim, mov_dim, bins, chunk, group, plan, iters):
     # re-tracing + re-lowering it (utils.aot adds source/jax/device hashing)
     from ..utils.aot import cached_call
 
+    # n_batch > 0: ALL movers of a level in ONE device call (vmapped lanes
+    # share the fixed image and the pre/post factors since every mover is
+    # resliced onto the same union-box iso grid — affine_align). The lifted
+    # while_loop runs until every lane converges, so the level costs
+    # max(iters over movers) wall-clock instead of their SUM (round-4
+    # VERDICT item 3: init <= 10 s — the per-mover loop was the cost).
+    fn = (opt if n_batch == 0
+          else jax.vmap(opt, in_axes=(0, None, 0, None, None)))
     return cached_call(
         "nmiopt",
         dict(fix_dim=fix_dim, mov_dim=mov_dim, bins=bins, chunk=chunk,
-             group=group, plan=plan, iters=iters),
-        jax.jit(opt),
+             group=group, plan=plan, iters=iters, n_batch=n_batch),
+        jax.jit(fn),
         src_scope=("ops", "kernels.py", "geometry.py",
                    "pipeline/registration.py"))
 
@@ -459,6 +468,41 @@ def _opt_level(fd, fm, md, mm, q, wc, group, bins, maxiter, plan):
     return qj, loss
 
 
+def _opt_level_batch(fd, fm, mds, mm, qs, wc, group, bins, maxiter, plan):
+    """One level for ALL movers in one vmapped device call.
+
+    Requires every mover on the same iso grid (affine_align reslices them
+    onto the union box, so ``mm`` is shared) and one shared window plan
+    (plans are rotation-bucketed — _shear_plan_level — so movers whose
+    rotations share a 0.1 rad bucket plan identically).
+    """
+    from ..geometry import affine_translation as _T
+
+    n = int(qs.shape[0])
+    opt = _nmi_opt_cached(tuple(int(d) for d in fd.shape),
+                          tuple(int(d) for d in mds.shape[1:]),
+                          int(bins), 1 << 16, group, plan, int(maxiter),
+                          n_batch=n)
+    pre4 = jnp.asarray((np.linalg.inv(np.asarray(mm, np.float64))
+                        @ _T(wc)).astype(np.float32))
+    post4 = jnp.asarray((_T(-wc) @ np.asarray(fm, np.float64))
+                        .astype(np.float32))
+    qj, loss = opt(jnp.asarray(np.asarray(qs, np.float32)), fd, mds, pre4,
+                   post4)
+    import os as _os
+
+    if _os.environ.get("UNIRES_TPU_TIMING"):
+        st = getattr(opt, "stats", None)
+        if st and (st["compile_s"] or st["load_s"]):
+            import sys as _sys
+
+            print(f"[coreg]   opt-batch n={n} dim={tuple(fd.shape)} compile="
+                  f"{st['compile_s']:.2f}s load={st['load_s']:.2f}s",
+                  file=_sys.stderr, flush=True)
+            st["compile_s"] = st["load_s"] = 0.0  # report first call only
+    return qj, loss
+
+
 def _register_pair(fix_dat, fix_mat, mov_dat, mov_mat, q0, levels, fwhm,
                    bins=64, maxiter=150, group="SE"):
     """Multi-resolution device-side NMI registration of one pair.
@@ -487,12 +531,23 @@ def _register_pair(fix_dat, fix_mat, mov_dat, mov_mat, q0, levels, fwhm,
 def affine_align(imgs: Sequence[Tuple[Array, np.ndarray]], fix: int = 0,
                  cost_fun: str = "nmi", group: str = "SE", samp=1,
                  fwhm: float = 7.0, mean_space: bool = False,
-                 levels: Sequence[float] = (8.0, 4.0, 2.0)) -> np.ndarray:
+                 levels: Sequence[float] = (8.0, 4.0, 2.0),
+                 gauge: str = "fix") -> np.ndarray:
     """Pairwise rigid alignment of all images to imgs[fix].
 
     Returns mat_a (N,4,4): world-space transforms; applying
     ``mat <- solve(mat_a[i], mat)`` aligns the images (the reference applies
     exactly this at unires/_core.py:336).
+
+    ``gauge``: where the aligned common frame sits. 'fix' (reference
+    semantics): imgs[fix] is untouched (mat_a[fix] = I) — the common frame
+    inherits image fix's own scanner-pose error in full. 'mean': every
+    mat_a (including fix's) is right-multiplied by expm(-mean(log mat_a)),
+    so the common frame is the Lie-mean of all input frames — each image's
+    pose error enters at weight 1/N instead of one image's at weight 1.
+    Pairwise alignment is identical; only the unobservable common mode
+    moves. The pipeline uses 'mean' (Settings.coreg_gauge), consistent with
+    its mean-space output grid and the fit loop's mean-centred pose gauge.
 
     All movers are resliced onto ONE shared world-aligned iso grid per level
     (the union FOV box), so every pair at a level runs the SAME jitted
@@ -535,15 +590,43 @@ def affine_align(imgs: Sequence[Tuple[Array, np.ndarray]], fix: int = 0,
         print(f"[coreg] pyramids ({N - 1} movers + fix) "
               f"{_time.time() - t_pyr:.2f}s", file=_sys.stderr, flush=True)
     qs = {i: np.zeros(6) for i in mov_pyrs}
+    movers = sorted(mov_pyrs)
     for li in range(len(levels)):
         fd, fm = fix_pyr[li]
-        for i, pyr in mov_pyrs.items():
-            md, mm = pyr[li]
+        t0 = _time.time()
+        # one shared plan for all movers when their rotation buckets agree
+        # (_shear_plan_level buckets at 0.1 rad — post-coarse-level poses
+        # nearly always share the zero bucket): the whole level then runs
+        # as ONE vmapped device call costing max(mover iters), not the sum
+        plans = {i: (None if li == 0 else
+                     _shear_plan_level(fd.shape, mov_pyrs[i][li][0].shape,
+                                       mov_pyrs[i][li][1], fm, qs[i], wc,
+                                       "SE"))
+                 for i in movers}
+        shapes = {tuple(mov_pyrs[i][li][0].shape) for i in movers}
+        if (len(movers) > 1 and len(set(plans.values())) == 1
+                and len(shapes) == 1):
+            mm = mov_pyrs[movers[0]][li][1]
+            mds = jnp.stack([mov_pyrs[i][li][0] for i in movers])
+            qsb = np.stack([qs[i] for i in movers])
+            qj, _ = _opt_level_batch(fd, fm, mds, mm, qsb, wc, "SE", 64,
+                                     150, plans[movers[0]])
+            qn = np.asarray(qj, np.float64)
+            for k, i in enumerate(movers):
+                qs[i] = qn[k]
+            if _dbg:
+                import sys as _sys
+
+                print(f"[coreg] level {levels[li]:.0f}mm batch x"
+                      f"{len(movers)} dim={tuple(fd.shape)} "
+                      f"{_time.time() - t0:.2f}s",
+                      file=_sys.stderr, flush=True)
+            continue
+        for i in movers:
+            md, mm = mov_pyrs[i][li]
             t0 = _time.time()
-            plan = (None if li == 0 else
-                    _shear_plan_level(fd.shape, md.shape, mm, fm, qs[i], wc,
-                                      "SE"))
-            qj, _ = _opt_level(fd, fm, md, mm, qs[i], wc, "SE", 64, 150, plan)
+            qj, _ = _opt_level(fd, fm, md, mm, qs[i], wc, "SE", 64, 150,
+                               plans[i])
             qs[i] = np.asarray(qj, np.float64)
             if _dbg:
                 import sys as _sys
@@ -553,6 +636,18 @@ def affine_align(imgs: Sequence[Tuple[Array, np.ndarray]], fix: int = 0,
                       file=_sys.stderr, flush=True)
     for i in mov_pyrs:
         mat_a[i] = q_to_world(qs[i], "SE", wc)
+    if gauge == "mean":
+        from ..geometry import expm as _expm
+        from ..geometry import rigid_log
+
+        basis = affine_basis("SE")
+        qbar = np.mean([rigid_log(mat_a[i], basis) for i in range(N)],
+                       axis=0)
+        Gm = _expm(-qbar, basis)
+        for i in range(N):
+            mat_a[i] = mat_a[i] @ Gm
+    elif gauge != "fix":
+        raise ValueError(f"gauge={gauge!r} (use 'fix'|'mean')")
     return mat_a
 
 

@@ -100,7 +100,9 @@ def init_reg(x: XData, sett):
 
         t0 = info(sett, "init-reg-begin", "co", N)
         imgs = [(o.dat, o.mat) for xc in x for o in xc]
-        mat_a = affine_align(imgs, fix=sett.fix, **sett.coreg_params)
+        mat_a = affine_align(imgs, fix=sett.fix,
+                             gauge=getattr(sett, "coreg_gauge", "mean"),
+                             **sett.coreg_params)
         sett.mat_coreg = mat_a
         i = 0
         for xc in x:
@@ -331,8 +333,15 @@ def preproc_batch(subjects, sett: Optional[Settings] = None):
         sett.shard = "batch"
     inits = []
     for data in subjects:
-        # init mutates settings (method, schedule, rigid basis) — per copy
-        xb, yb, sb = init(data, sett.copy())
+        # init mutates settings (method, schedule, rigid basis) — per copy.
+        # Subjects 1.. reconstruct on subject 0's output grid so the batch
+        # is geometry-homogeneous (with common_output all subjects land on
+        # the atlas grid already).
+        sb = sett.copy()
+        if inits and not sett.common_output:
+            y0 = inits[0][1]
+            sb.force_y_space = (y0[0].mat, y0[0].dim)
+        xb, yb, sb = init(data, sb)
         inits.append((xb, yb, sb))
     res = fit_batch([i[0] for i in inits], [i[1] for i in inits],
                     [i[2] for i in inits])

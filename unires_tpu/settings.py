@@ -24,6 +24,12 @@ class Settings:
     coreg_params: dict = dataclasses.field(
         default_factory=lambda: dict(cost_fun="nmi", group="SE", samp=1, fwhm=7.0, mean_space=False)
     )
+    coreg_gauge: str = "mean"  # common-frame anchor for co-registration:
+    # 'mean' places the aligned frame at the Lie-mean of all input frames
+    # (each scanner-pose error enters at weight 1/N — consistent with the
+    # mean-space output grid and the fit's mean-centred pose gauge);
+    # 'fix' reproduces the reference (frame = image sett.fix, which then
+    # carries that image's full pose error into the output placement).
     crop: bool = False  # crop recon FOV to atlas box
     common_output: bool = False  # same output grid across subjects
     ct: bool = False  # input may be CT (negative values meaningful)
@@ -75,6 +81,10 @@ class Settings:
     # (pull (5,5,4)->(4,4,3), push (7,7,6)->(6,6,5) at bench geometry). The
     # capacity veto + budget escalation recover automatically if a pose
     # needs more than this per chunk.
+    precond: str = "dct"  # CG preconditioner: 'dct' (this rebuild's
+    # DCT-diagonal membrane inverse), 'jacobi' (the reference's
+    # shipped-but-disabled voxel-diagonal _precond, unires/_update.py:80-102,
+    # for A/B parity runs), or 'none'. UNIRES_TPU_PRECOND overrides.
     replan_margin: float = 0.0  # >0: re-plan Pallas windows when headroom < this
     budget_escalate: bool = True  # auto-widen window plans when a rigid line
     # search saturates its capacity budget in consecutive chunks (self-healing
@@ -106,6 +116,11 @@ class Settings:
     checkpoint_every: int = 0  # save solver state every N iterations (0=off)
     checkpoint_path: Optional[str] = None  # where to save/load the state
     resume: bool = False  # resume from checkpoint_path if it exists
+
+    force_y_space: Optional[Any] = None  # (mat, dim): reconstruct on this
+    # exact output grid instead of the data-derived mean space. Batch mode
+    # sets it to subject 0's grid so the batch is geometry-homogeneous; the
+    # reference's cross-subject analog is common_output (atlas grid).
 
     # derived at runtime (not in the reference struct, kept explicit here)
     mat_coreg: Optional[Any] = None

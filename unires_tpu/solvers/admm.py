@@ -139,6 +139,30 @@ def dct_membrane_tables(dim_y):
     return tuple(out)
 
 
+def jacobi_tables(dim_y):
+    """Per-axis per-voxel diagonal of D^T D for forward differences,
+    broadcast-ready ((X,1,1), (1,Y,1), (1,1,Z)).
+
+    Voxel i contributes to the forward difference at i (unless last) and at
+    i-1 (unless first), so diag(D_d^T D_d)[i] = ([i < n-1] + [i > 0]) before
+    the 1/vx_d^2 factor. This is the exact diagonal the reference's
+    (shipped-but-disabled) Jacobi-style ``_precond`` approximates
+    (unires/_update.py:80-102); exposed via Settings.precond='jacobi' for
+    A/B parity runs against the DCT preconditioner.
+    """
+    dim_y = tuple(int(d) for d in dim_y)
+    out = []
+    for d in range(3):
+        n = dim_y[d]
+        e = np.full(n, 2.0, np.float32)
+        e[0] = 1.0
+        e[-1] = 1.0
+        shape = [1, 1, 1]
+        shape[d] = n
+        out.append(jnp.asarray(e.reshape(shape)))
+    return tuple(out)
+
+
 def make_cdiag_fn(x, sett) -> Callable:
     """Device fn: per-channel data-term diagonal for the CG preconditioner.
 
@@ -192,8 +216,22 @@ def make_admm_body(x, y, sett):
     dim_y = tuple(int(d) for d in y[0].dim)
 
     ops = [[make_obs_ops(o.po, method) for o in x[c]] for c in range(C)]
+    # preconditioner mode: Settings.precond in {'dct','jacobi','none'}
+    # (reference parity: its Jacobi-style _precond ships disabled,
+    # unires/_update.py:80-102 — 'jacobi' reproduces it for A/B runs, 'dct'
+    # is this rebuild's default and supersedes it); the UNIRES_TPU_PRECOND
+    # env var stays as a settings-free bisect override.
+    import os as _os
+
+    precond_mode = _os.environ.get(
+        "UNIRES_TPU_PRECOND", getattr(sett, "precond", "dct") or "dct")
+    if precond_mode in ("0",):
+        precond_mode = "none"
+    if precond_mode not in ("dct", "jacobi", "none"):
+        raise ValueError(f"precond={precond_mode!r} (use dct|jacobi|none)")
     Cx, Cy, Cz = dct_matrices(dim_y)
     eig_tabs = dct_membrane_tables(dim_y)
+    jac_tabs = jacobi_tables(dim_y)
     hi = jax.lax.Precision.HIGHEST
 
     X, Y, Z = dim_y
@@ -216,11 +254,16 @@ def make_admm_body(x, y, sett):
         # diagonal-in-DCT-basis inverse of  cdiag + rho lam^2 D^T D  for ALL
         # channels at once — six (n, n) matmuls on the MXU with the channel
         # axis batched into them (see dct_matrices for why not FFT).
-        # UNIRES_TPU_PRECOND=none disables it (identity; bisect knob).
-        import os as _os
-
-        if _os.environ.get("UNIRES_TPU_PRECOND", "dct") in ("none", "0"):
+        if precond_mode == "none":
             return None
+        if precond_mode == "jacobi":
+            # voxel-diagonal inverse of cdiag + rho lam^2 diag(D^T D)
+            jacD = (jac_tabs[0] / (vx[0] * vx[0])
+                    + jac_tabs[1] / (vx[1] * vx[1])
+                    + jac_tabs[2] / (vx[2] * vx[2]))
+            denom_j = (cdiags_c[:, None, None, None]
+                       + rho * (lams_c * lams_c)[:, None, None, None] * jacD)
+            return lambda V: V / denom_j
         lamD = (eig_tabs[0] / (vx[0] * vx[0])
                 + eig_tabs[1] / (vx[1] * vx[1])
                 + eig_tabs[2] / (vx[2] * vx[2]))
