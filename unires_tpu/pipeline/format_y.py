@@ -145,10 +145,15 @@ def init_y_dat(x: XData, y: YData, sett):
 
     dim_y = y[0].dim
     mat_y = y[0].mat
+    import os as _os
+    import time as _time
+
+    _dbg = _os.environ.get("UNIRES_TPU_TIMING")
     for c in range(len(x)):
         dat_y = jnp.zeros(dim_y, jnp.float32)
         sm = jnp.zeros(dim_y, jnp.float32)
         for o in x[c]:
+            t0 = _time.time()
             Mv = np.linalg.solve(np.asarray(o.mat, np.float64), mat_y)
             # axis-aligned input affines -> three (out_d, in_d) matmuls on
             # the MXU instead of an XLA gather at dim_y scale (~10x); the
@@ -180,6 +185,17 @@ def init_y_dat(x: XData, y: YData, sett):
                 if dat is None:
                     dat = pull(o.dat, affine_to_M(Mv), dim_y, order=1)
             dat = jnp.clip(dat, jnp.min(o.dat), jnp.max(o.dat))
+            if _dbg:
+                import sys as _sys
+
+                import jax as _jax
+
+                _jax.block_until_ready(dat)
+                print(f"[init_y] c={c} reslice {o.dat.shape}->"
+                      f"{tuple(int(d) for d in dim_y)} "
+                      f"{'sep' if sep is not None else 'pull'} "
+                      f"{_time.time() - t0:.2f}s",
+                      file=_sys.stderr, flush=True)
             sm = sm + (dat > 0)
             dat_y = dat_y + dat
         sm = jnp.where(sm == 0, 1.0, sm)

@@ -50,8 +50,7 @@ def _gauss_kernel1d(sd: float) -> np.ndarray:
     return (k / k.sum()).astype(np.float32)
 
 
-@jax.jit
-def _smooth_sep(vol, kx, ky, kz):
+def _smooth_sep_body(vol, kx, ky, kz):
     """Separable gaussian smoothing (same-size, zero bound)."""
     def conv1(v, k, axis):
         n = k.shape[0]
@@ -69,6 +68,9 @@ def _smooth_sep(vol, kx, ky, kz):
     vol = conv1(vol, ky, 1)
     vol = conv1(vol, kz, 2)
     return vol
+
+
+_smooth_sep = jax.jit(_smooth_sep_body)
 
 
 def _pyramid_level(dat, mat, target_mm: float, fwhm_mm: float):
@@ -205,17 +207,111 @@ def _iso_reslice(dat, mat, target_mm: float, box=None):
     return out, mat_o
 
 
+@functools.lru_cache(maxsize=32)
+def _pyramid_prog(in_dim, dim_o, use_sep, perm, smooth_res, k_lens, steps):
+    """ONE traced program for a whole image pyramid.
+
+    The unfused path (eager reslice + per-level _smooth_sep + stride) is
+    ~10 device programs per image; over the remote TPU tunnel each eager
+    program costs ~0.3-0.9 s of dispatch/cache-load per process, ~18 s of
+    every warm init for 3 images (round-5 init_s profiling). All kernel
+    taps and reslice operators are TRACED args, so one executable serves
+    any header/pose values at the same geometry.
+    """
+    from ..ops.resample import _apply_separable
+
+    L = len(k_lens)
+
+    def run(vol, *ops):
+        i = 0
+        if smooth_res:
+            vol = _smooth_sep_body(vol, ops[i], ops[i + 1], ops[i + 2])
+            i += 3
+        if use_sep:
+            vol = _apply_separable(vol, (ops[i], ops[i + 1], ops[i + 2]),
+                                   perm)
+            i += 3
+        else:
+            vol = pull(vol, ops[i], dim_o)
+            i += 1
+        outs = []
+        for li in range(L):
+            sm = _smooth_sep_body(vol, ops[i], ops[i + 1], ops[i + 2])
+            i += 3
+            sl = tuple(slice(None, None, int(s)) for s in steps[li])
+            outs.append(sm[sl])
+        return tuple(outs)
+
+    from ..utils.aot import cached_call
+
+    return cached_call(
+        "pyr",
+        dict(in_dim=in_dim, dim_o=dim_o, use_sep=use_sep, perm=perm,
+             smooth_res=smooth_res, k_lens=k_lens, steps=steps),
+        jax.jit(run),
+        src_scope=("ops", "pipeline/registration.py"))
+
+
 def _iso_pyramid(dat, mat, levels, fwhms, box=None):
     """Per-level (dat, mat) on world-aligned iso grids, coarse -> fine.
 
     The finest level is resliced once from native; coarser levels are
-    smooth+stride decimations of it (cheap separable convs)."""
+    smooth+stride decimations of it. Host side PLANS (grids, kernel taps,
+    level mats); the device side is one fused program (_pyramid_prog)."""
+    from ..ops.resample import separable_matrices
+
     fine = float(levels[-1])
-    dat0, mat0 = _iso_reslice(dat, mat, fine, box=box)
-    out = []
+    mat = np.asarray(mat, np.float64)
+    vx = voxel_size(mat)
+    # reslice planning (same math as _iso_reslice)
+    sds = []
+    for d in range(3):
+        aa = max(fine / vx[d], 1.0)
+        sds.append(float(np.sqrt(max(0.42 * (aa ** 2 - 1), 0.0))))
+    dat = jnp.asarray(dat, jnp.float32)
+    smooth_res = max(sds) > 1e-3
+    ks_res = [_gauss_kernel1d(sd) for sd in sds] if smooth_res else []
+    lo, hi = _world_box([(mat, dat.shape)]) if box is None else box
+    dim_o = tuple(int(d) for d in np.maximum(
+        np.floor((hi - lo) / fine) + 1, 1))
+    mat_o = np.eye(4)
+    mat_o[:3, :3] = np.diag([fine] * 3)
+    mat_o[:3, 3] = lo
+    M = np.linalg.solve(mat, mat_o)
+    sep = separable_matrices(M, dat.shape, dim_o)
+
+    # per-level planning (same math as _pyramid_level on the iso grid)
+    vx_o = voxel_size(mat_o)
+    k_lens, steps, lvl_ops, mats = [], [], [], []
     for lev, fw in zip(levels, fwhms):
-        out.append(_pyramid_level(dat0, mat0, float(lev), float(fw)))
-    return out
+        lsds = []
+        for d in range(3):
+            aa = max(float(lev) / vx_o[d], 1.0)
+            sd_vox = (np.sqrt((fw / 2.355) ** 2 + (0.42 * (aa ** 2 - 1)))
+                      / vx_o[d] if aa > 1 else fw / 2.355 / vx_o[d])
+            lsds.append(float(sd_vox))
+        ks = [_gauss_kernel1d(sd) for sd in lsds]
+        step = np.maximum(np.floor(float(lev) / vx_o + 0.5), 1.0)
+        m = mat_o
+        if (step > 1).any():
+            m = mat_o @ np.diag(list(step) + [1.0])
+        k_lens.append(tuple(k.shape[0] for k in ks))
+        steps.append(tuple(int(s) for s in step))
+        lvl_ops.extend(ks)
+        mats.append(np.asarray(m, np.float64))
+
+    prog = _pyramid_prog(tuple(int(d) for d in dat.shape), dim_o,
+                         sep is not None,
+                         tuple(sep[1]) if sep is not None else None,
+                         smooth_res, tuple(k_lens), tuple(steps))
+    ops = [jnp.asarray(k) for k in ks_res]
+    if sep is not None:
+        ops.extend(jnp.asarray(W) for W in sep[0])
+    else:
+        ops.append(jnp.asarray(M[:3, :4], jnp.float32))
+    ops.extend(jnp.asarray(k) for k in lvl_ops)
+    outs = prog(dat, *ops)
+    return [(outs[li], mats[li]) for li in range(len(levels))]
 
 
 # translations are in mm, rotations (and log-scales) in radians: scale the
@@ -256,12 +352,19 @@ def _nmi_opt_cached(fix_dim, mov_dim, bins, chunk, group, plan, iters,
     center = tuple((d - 1) / 2.0 for d in fix_dim)
     cscale = tuple(max((d - 1) / 2.0, 1.0) for d in fix_dim)
     X, Y, Z = fix_dim
-    ii = (jax.lax.broadcasted_iota(jnp.float32, (X, 1, 1), 0)
-          - center[0]) / cscale[0]
-    jj = (jax.lax.broadcasted_iota(jnp.float32, (1, Y, 1), 1)
-          - center[1]) / cscale[1]
-    kk = (jax.lax.broadcasted_iota(jnp.float32, (1, 1, Z), 2)
-          - center[2]) / cscale[2]
+
+    # normalised voxel-coordinate axes for the moment contraction. Built
+    # INSIDE the traced program (fused, free) — as eager closure constants
+    # they cost ~9 tiny device programs per level over the remote tunnel,
+    # ~3 s of every warm init (round-5 init_s profiling).
+    def _axes():
+        ii = (jax.lax.broadcasted_iota(jnp.float32, (X, 1, 1), 0)
+              - center[0]) / cscale[0]
+        jj = (jax.lax.broadcasted_iota(jnp.float32, (1, Y, 1), 1)
+              - center[1]) / cscale[1]
+        kk = (jax.lax.broadcasted_iota(jnp.float32, (1, 1, Z), 2)
+              - center[2]) / cscale[2]
+        return ii, jj, kk
 
     if plan is None:
         from ..ops.resample import pull_grad as _xla_pull_grad
@@ -332,6 +435,7 @@ def _nmi_opt_cached(fix_dim, mov_dim, bins, chunk, group, plan, iters,
         # output voxel coordinate -> order-<=1 moments suffice (same trick as
         # solvers.fitloop rigid_obs)
         B = jnp.einsum("ij,kjl,lm->kim", pre4, dR, post4)
+        ii, jj, kk = _axes()
         m0, m1 = [], []
         for d in range(3):
             W = ct3 * pg[..., d]
@@ -571,13 +675,21 @@ def affine_align(imgs: Sequence[Tuple[Array, np.ndarray]], fix: int = 0,
     fix_dat, fix_mat = imgs[fix]
     fix_dat = jnp.asarray(fix_dat, jnp.float32)
     wc = _fix_centre(fix_dat.shape, fix_mat)
-    fix_pyr = _iso_pyramid(fix_dat, fix_mat, levels, fwhms)
-    box = _world_box([(imgs[i][1], imgs[i][0].shape)
-                      for i in range(N) if i != fix])
     import os as _os
     import time as _time
 
     _dbg = _os.environ.get("UNIRES_TPU_TIMING")
+    t_fp = _time.time()
+    fix_pyr = _iso_pyramid(fix_dat, fix_mat, levels, fwhms)
+    if _dbg:
+        import jax as _jax
+        import sys as _sys
+
+        _jax.block_until_ready([lv[0] for lv in fix_pyr])
+        print(f"[coreg] fix pyramid {_time.time() - t_fp:.2f}s",
+              file=_sys.stderr, flush=True)
+    box = _world_box([(imgs[i][1], imgs[i][0].shape)
+                      for i in range(N) if i != fix])
     t_pyr = _time.time()
     mov_pyrs = {i: _iso_pyramid(jnp.asarray(imgs[i][0], jnp.float32),
                                 imgs[i][1], levels, fwhms, box=box)
@@ -603,15 +715,32 @@ def affine_align(imgs: Sequence[Tuple[Array, np.ndarray]], fix: int = 0,
                                        mov_pyrs[i][li][1], fm, qs[i], wc,
                                        "SE"))
                  for i in movers}
+        t_plan = _time.time() - t0
         shapes = {tuple(mov_pyrs[i][li][0].shape) for i in movers}
         if (len(movers) > 1 and len(set(plans.values())) == 1
                 and len(shapes) == 1):
             mm = mov_pyrs[movers[0]][li][1]
+            t1 = _time.time()
             mds = jnp.stack([mov_pyrs[i][li][0] for i in movers])
             qsb = np.stack([qs[i] for i in movers])
+            if _dbg:
+                import jax as _jax
+
+                _jax.block_until_ready(mds)
+            t_stack = _time.time() - t1
+            t1 = _time.time()
             qj, _ = _opt_level_batch(fd, fm, mds, mm, qsb, wc, "SE", 64,
                                      150, plans[movers[0]])
+            t_opt = _time.time() - t1
+            t1 = _time.time()
             qn = np.asarray(qj, np.float64)
+            if _dbg:
+                import sys as _sys
+
+                print(f"[coreg]   phases plan={t_plan:.2f}s "
+                      f"stack={t_stack:.2f}s opt={t_opt:.2f}s "
+                      f"qpull={_time.time() - t1:.2f}s",
+                      file=_sys.stderr, flush=True)
             for k, i in enumerate(movers):
                 qs[i] = qn[k]
             if _dbg:
