@@ -197,6 +197,10 @@ def main():
         "steady_sec_per_iter": (round(steady_per_iter, 4)
                                 if steady_per_iter else None),
         "startup_s": round(startup_s, 2) if startup_s else None,
+        # host-side seconds inside fit() NOT covered by device chunk calls
+        # (scalar pulls, convergence bookkeeping, replan checks)
+        "fit_host_gap_s": round(t_fit - sum(dt for _, dt in ct), 2),
+        "chunk_times": [[int(k), round(dt, 3)] for k, dt in ct],
         "kernels": kernels,
     }
     print(json.dumps(result))

@@ -206,9 +206,17 @@ def fit(x: XData, y: YData, sett):
                 _jax.block_until_ready(objs)
                 print(f"[chunk exec {timer() - t_chunk:.2f}s]", flush=True)
                 t_host = timer()
+            # ONE batched host pull for every per-chunk scalar/trace the
+            # loop below consumes: each individual np.asarray/int() is a
+            # separate device->host round-trip over the remote TPU tunnel
+            # (~30-100 ms apiece, 6-7 per chunk ≈ seconds per fit)
+            (objs, gains, valid, n_iter_h, done_h, n_vetoed_h, n_sat_h,
+             q_h) = jax.device_get((objs, gains, valid, state.n_iter,
+                                    state.done, state.n_vetoed, state.n_sat,
+                                    state.q))
             objs = np.asarray(objs, np.float64)
             gains = np.asarray(gains, np.float64)
-            k_live = int(np.asarray(valid).sum())
+            k_live = int(valid.sum())
             elapsed = timer() - t_chunk
             # split trace/compile (or executable-load) out of the first call
             # of each built chunk so fit-ll prints TRUE per-iteration wall
@@ -220,7 +228,7 @@ def fit(x: XData, y: YData, sett):
                 elapsed = max(elapsed - st["compile_s"] - st["load_s"], 1e-6)
             chunk_times.append((k_live, elapsed))
             per_iter = elapsed / max(k_live, 1)
-            base = int(state.n_iter) - k_live
+            base = int(n_iter_h) - k_live
             t_now = timer()
             for k in range(k_live):
                 obj_trace.append(objs[k])
@@ -243,7 +251,7 @@ def fit(x: XData, y: YData, sett):
 
                 for c in range(C):
                     _show(np.asarray(state.ys[c]),
-                          title=f"y (channel {c}) @ iter {int(state.n_iter)}",
+                          title=f"y (channel {c}) @ iter {int(n_iter_h)}",
                           fig_num=60 + c)
 
             # optional dashboards (reference run.py:90-99), chunk cadence
@@ -257,8 +265,8 @@ def fit(x: XData, y: YData, sett):
                 show_slices(np.asarray(state.jtv), title="JTV", fig_num=98,
                             cmap="coolwarm")
 
-            n_done = int(state.n_iter)
-            done = bool(state.done)
+            n_done = int(n_iter_h)
+            done = bool(done_h)
 
             # -- checkpoint (SURVEY §5 rebuild note; not in the reference) --
             if (sett.checkpoint_every > 0 and sett.checkpoint_path
@@ -304,10 +312,10 @@ def fit(x: XData, y: YData, sett):
             # accepted) are logged but MUST NOT escalate: the round-3 bench
             # showed raw-veto escalation re-tracing mid-run and widening
             # every window on a workload whose poses were all in budget. --
-            dv = int(state.n_vetoed) - n_vetoed_seen
-            n_vetoed_seen = int(state.n_vetoed)
-            ds = int(state.n_sat) - n_sat_seen
-            n_sat_seen = int(state.n_sat)
+            dv = int(n_vetoed_h) - n_vetoed_seen
+            n_vetoed_seen = int(n_vetoed_h)
+            ds = int(n_sat_h) - n_sat_seen
+            n_sat_seen = int(n_sat_h)
             escalate_on = bool(getattr(sett, "budget_escalate", True))
             veto_streak = veto_streak + 1 if ds > 0 else 0
             if dv > 0 and (sett.do_print >= 1 or debug_timing):
@@ -320,7 +328,7 @@ def fit(x: XData, y: YData, sett):
                          if escalate_on and veto_streak >= 2 else ""),
                       file=_sys.stdout if sett.do_print >= 1 else _sys.stderr)
             if os.environ.get("UNIRES_TPU_DEBUG_Q"):
-                qs = np.asarray(state.q, np.float64)
+                qs = np.asarray(q_h, np.float64)
                 print(f"[q@{n_done}] " + "; ".join(
                     f"{i}:" + ",".join(f"{v:+.4f}" for v in qs[i])
                     for i in range(qs.shape[0]))
@@ -348,11 +356,11 @@ def fit(x: XData, y: YData, sett):
                 # chunk's window plans — a drifted pose whose fresh plan
                 # would be smaller/different is still served exactly by the
                 # bigger built plan (the kernels' capacity is what matters)
-                need_replan = replan_margins(x, sett, state.q,
+                need_replan = replan_margins(x, sett, q_h,
                                              plans=sig_built) < replan_margin
             if sett.unified_rigid and need_replan:
                 _sync_state(x, y, sett, state)
-                sig_now = plan_signature(x, sett, state.q, extra_budget)
+                sig_now = plan_signature(x, sett, q_h, extra_budget)
                 if sig_now in chunk_cache:
                     chunk = chunk_cache[sig_now]
                 else:
